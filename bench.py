@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline number is end-to-end knowledge-graph pipeline throughput
+(pages/sec, stage-0 parse through the triple count), the reference's
+own progress metric (bin/wikiprep:398-409).  Additional per-query wall
+times cover the relational, dedup, text and similarity operators.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by bench_scaling.py
+into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_join_revenue_by_nation",
+    "q_window_top_order",
+    "q_events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "text_quality",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "graph_closure",
+    "graph_components",
+]
+
+
+def run_kg_pipeline(spark, sf_dir: str, replicate: int):
+    from wikiprep_spark.plans.pipeline import run_pipeline
+    from wikiprep_spark.sources.corpus import build_src_pages
+
+    t0 = time.time()
+    src = build_src_pages(spark, sf_dir, replicate=replicate)
+    result = run_pipeline(spark, src)
+    n_pages = result["transformed"].count()
+    n_triples = result["triples"].count()
+    wall = time.time() - t0
+    return wall, n_pages, n_triples, result
+
+
+def main():
+    from wikiprep_spark.plans.queries import QUERIES
+    from wikiprep_spark.plans.session import build_session
+
+    spark = build_session(
+        app_name="wikiprep-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    queries: dict = {}
+    total = 0.0
+
+    kg_wall, n_pages, n_triples, _ = run_kg_pipeline(spark, SF_DIR, REPLICATE)
+    queries["kg_pipeline"] = round(kg_wall, 3)
+    total += kg_wall
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "kg_pages_per_sec",
+        "value": round(n_pages / kg_wall, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "total_sec": round(total, 3),
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "replicate": REPLICATE,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

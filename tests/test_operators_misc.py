@@ -1,0 +1,119 @@
+"""Graph, dedup, similarity, multimodal operator tests (small data)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikiprep_spark.operators import dedup, graph, multimodal, similarity
+
+
+def test_transitive_closure_roots(spark):
+    # chain 1->2->3->4 and a lone edge 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["root"], r["depth"])
+        for r in graph.transitive_closure_roots(edges).collect()
+    }
+    assert got == {(1, 4, 3), (2, 4, 2), (3, 4, 1), (10, 11, 1)}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "The quick  brown fox jumps over the lazy dog"),  # dup of 0
+            (2, "the quick brown fox jumps over a sleepy dog"),   # near-dup
+            (3, "completely different text about spark pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["representative_id"]: r["n_docs"]
+              for r in dedup.exact_dedup(docs).collect()}
+    assert groups[0] == 2  # doc 1 normalizes to doc 0's text
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_token_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.token_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical token sets always collide
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_groups(spark, docs):
+    rows = dedup.simhash(docs).collect()
+    sh = {r["doc"]: r["simhash"] for r in rows}
+    assert sh[0] == sh[1]
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(g["n_docs"] >= 2 for g in groups)
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    got = [(r["neighbor_id"], r["rank"])
+           for r in similarity.cosine_topk(emb, q, k=3).collect()]
+    assert got[0] == (1, 1)
+    assert [n for n, _ in got] == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.lsh_cosine_topk(emb, q, dim=8, k=5, n_planes=2)
+    # every approx neighbor must be a real vector with correct cosine rank
+    # within its bucket; sanity: results non-empty and self excluded
+    rows = approx.collect()
+    assert rows
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    assert exact.count() == 15
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    integ = multimodal.payload_integrity(media).collect()
+    assert all(r["sha_ok"] and r["len_ok"] for r in integ)
+    feats = multimodal.extract_features(media).collect()
+    assert all(r["decode_status"] == "ok_stub" for r in feats)
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-6 for r in feats)
+
+
+def test_decode_stub_strict_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "image", strict=True)

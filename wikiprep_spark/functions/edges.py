@@ -97,6 +97,7 @@ def template_inclusion_rows(page):
     rows = []
     for template_id, incl_list in page.get("templates", {}).items():
         for incl_idx, params in enumerate(incl_list):
+            emitted = False
             for param, value in params.items():
                 if param.startswith("="):
                     continue
@@ -104,4 +105,9 @@ def template_inclusion_rows(page):
                     (page["id"], template_id, incl_idx, param,
                      _NL_RE.sub(" ", value))
                 )
+                emitted = True
+            if not emitted:
+                # a parameter-less inclusion still logs a Page/End block
+                # (Legacy.pm:201-210) — keep one row so it stays visible
+                rows.append((page["id"], template_id, incl_idx, None, None))
     return rows

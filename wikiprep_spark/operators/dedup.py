@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Everything here is built from JVM-side column expressions (no Python UDFs):
+hashing via xxhash64/md5, shingling via split/transform, banding via
+pmod — so the plans stay inside whole-stage codegen and shuffle only on the
+grouping keys.  Designed for the ``documents`` table shape
+(doc_id, text, ...), but any (id, text) pair works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime modulus: 31-bit so that a*h+b stays far from 64-bit
+# overflow (Spark 4 runs in ANSI mode and would raise on long overflow).
+_MERSENNE = (1 << 31) - 1
+
+
+def normalized_text(col="text"):
+    """Canonical text form shared by the dedup family: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    normalized text with the representative (minimum) id and the group size.
+    A single hash-shuffle; the md5 key keeps the shuffle payload tiny."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(normalized_text(text_col)).alias("content_md5"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _token_sets(docs: DataFrame, id_col, text_col) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.split(normalized_text(text_col), " ")).alias(
+            "toks"
+        ),
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame, id_col="doc_id", text_col="text", threshold=0.5
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard similarity.
+
+    Inverted-index join (explode tokens -> join on token -> count shared)
+    instead of a cross join: the shuffle is proportional to the posting
+    lists, not n². Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    toks = _token_sets(docs, id_col, text_col)
+    sizes = toks.select("doc", F.size("toks").alias("sz"))
+    posting = toks.select("doc", F.explode("toks").alias("tok"))
+    pairs = (
+        posting.alias("l")
+        .join(posting.alias("r"), "tok")
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .groupBy(
+            F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col="doc_id", text_col="text", num_hashes=32
+) -> DataFrame:
+    """(doc, sig: array<long>) minhash signatures over token sets.
+
+    Permutation h_i(x) = (a_i * xxhash64(x) + b_i) mod M with deterministic
+    odd multipliers — all computed by a single higher-order-function
+    expression per row (aggregate over the token array), no shuffle at all.
+    """
+    toks = _token_sets(docs, id_col, text_col)
+
+    def perm(a, b):
+        # closure factory: pyspark inspects lambda arity, so defaults-as-
+        # captures would be misread as extra lambda arguments
+        return lambda t: F.pmod(
+            F.pmod(F.xxhash64(t), F.lit(_MERSENNE)) * F.lit(a) + F.lit(b),
+            F.lit(_MERSENNE),
+        )
+
+    sig_cols = [
+        F.array_min(F.transform("toks", perm(2 * i + 1, 1000003 * (i + 1))))
+        for i in range(num_hashes)
+    ]
+    return toks.select("doc", F.array(*sig_cols).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes=32,
+    bands=8,
+    threshold=0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation and verification:
+    shingle -> minhash -> band -> bucket join -> exact-Jaccard verify.
+
+    Banding keeps the join linear in the number of colliding candidates;
+    at 100 TB the band-bucket key is the only shuffle key and hub buckets
+    (boilerplate documents) are exactly the skew AQE's skew-join handles.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1,
+                                    rows_per_band).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    candidates = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    toks = _token_sets(docs, id_col, text_col)
+    verified = (
+        candidates.join(
+            toks.select(F.col("doc").alias("doc_a"),
+                        F.col("toks").alias("toks_a")), "doc_a")
+        .join(
+            toks.select(F.col("doc").alias("doc_b"),
+                        F.col("toks").alias("toks_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, id_col="doc_id", text_col="text",
+            bits=16) -> DataFrame:
+    """(doc, simhash) 16-bit SimHash over token hashes: per-bit majority
+    vote, computed with aggregate expressions only."""
+    toks = _token_sets(docs, id_col, text_col)
+    th = toks.select("doc", F.transform(
+        "toks", lambda t: F.xxhash64(t)).alias("hashes"))
+    def bit_vote(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate("hashes", F.lit(0), bit_vote(b))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return th.select("doc", total.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, id_col="doc_id",
+                       text_col="text") -> DataFrame:
+    """Documents sharing an identical simhash — the cheap near-dup blocking
+    key (one shuffle on a 16-bit key)."""
+    return (
+        simhash(docs, id_col, text_col)
+        .groupBy("simhash")
+        .agg(
+            F.min("doc").alias("representative_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

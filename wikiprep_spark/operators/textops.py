@@ -1,0 +1,111 @@
+"""Text analysis operators for training-data curation: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen), no Python UDFs.
+Each has an exact ANSI-SQL counterpart in plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wikiprep_spark.operators.dedup import normalized_text
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pas", "une"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con"],
+}
+
+
+def token_stats(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_norm): whitespace tokenization over the
+    normalized text."""
+    toks = F.split(normalized_text(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(normalized_text(text_col)).cast("long").alias("n_chars_norm"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col="doc_id",
+                  text_col="text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, alpha ratio,
+    stopword ratio — the usual cheap pre-training filters.  Score =
+    stopword_ratio capped at 0.5, scaled, minus a short-doc penalty;
+    rounded for stable cross-engine comparison."""
+    norm = normalized_text(text_col)
+    toks = F.split(norm, " ")
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(norm).cast("double")
+    alpha_chars = F.length(F.regexp_replace(norm, r"[^a-z]", "")).cast(
+        "double"
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("double")
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(0.0)
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+                          ).otherwise(0.0)
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
+        + F.least(alpha_ratio, F.lit(1.0)) * 0.3
+        + F.when((n_tokens >= 20) & (n_tokens <= 1000), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Stopword-vote language identification with deterministic tie-break
+    (highest count wins; ties resolve in en<de<fr<es preference order via
+    strict > comparison chain)."""
+    toks = F.split(normalized_text(text_col), " ")
+
+    def stop_filter(ws):
+        return lambda t: t.isin(*ws)
+
+    counts = {
+        lang: F.size(F.filter(toks, stop_filter(ws)))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    best_lang = F.lit("unknown")
+    best_count = F.lit(0)
+    for lang in ["es", "fr", "de", "en"]:  # later wins ties -> en preferred
+        cond = counts[lang] >= best_count
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(cond, counts[lang]).otherwise(best_count)
+    return docs.select(
+        F.col(id_col),
+        F.when(best_count > 0, best_lang).otherwise(F.lit("unknown")).alias(
+            "detected_lang"
+        ),
+        best_count.cast("long").alias("stopword_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col="doc_id",
+                text_col="text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact identity)
+    plus a shape key (n_tokens, first/last token) for cheap blocking."""
+    norm = normalized_text(text_col)
+    toks = F.split(norm, " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.concat_ws(
+            "|",
+            F.size(toks).cast("string"),
+            F.element_at(toks, 1),
+            F.element_at(toks, -1),
+        ).alias("shape_key"),
+    )

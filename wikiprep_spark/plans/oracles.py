@@ -1,0 +1,278 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+For the knowledge-graph queries the oracle does NOT parse any markup: the
+synthetic corpus (sources/corpus.py) is constructed so every expected edge
+set is a closed-form function of ``documents.doc_id`` — these statements
+compute those expectations analytically.  If the Spark pipeline mis-parses
+templates, links, redirects, categories, urls, disambig pages or related
+sections, the value hashes diverge.  Keep the arithmetic in exact sync with
+sources/corpus.py (j1/j2/j3/jr formulas and the page-id layout).
+"""
+
+# Shared CTEs: n = document count, mm = redirect modulus, art = doc ids.
+_KG_BASE = (
+    "WITH nn AS (SELECT count(*)::BIGINT AS n, "
+    "greatest(count(*)//5, 1)::BIGINT AS mm FROM documents), "
+    "art AS (SELECT doc_id::BIGINT AS i FROM documents) "
+)
+
+KG_ORACLES = {
+    "kg_links": _KG_BASE + """
+, tgt AS (
+    SELECT i, (7*i+1)%n AS t FROM art, nn
+    UNION ALL SELECT i, (13*i+3)%n FROM art, nn
+    UNION ALL SELECT i, 5*((11*i+2)%mm) FROM art, nn
+    UNION ALL SELECT i, (3*i+7)%n FROM art, nn WHERE i%3=0
+)
+SELECT DISTINCT source_id, target_id FROM (
+    SELECT 1000+i AS source_id, 1000+t AS target_id FROM tgt WHERE t<>i
+    UNION ALL
+    SELECT 1000+3*n+i, 1000+i FROM art, nn WHERE i%50=0
+    UNION ALL
+    SELECT 1000+3*n+i, 1000+(i+3)%n FROM art, nn WHERE i%50=0
+)
+""",
+    "kg_anchors": _KG_BASE + """
+SELECT 1000+t AS target_id, 1000+s AS source_id, a AS anchor_text FROM (
+    SELECT (7*i+1)%n AS t, i AS s, 'Doc ' || ((7*i+1)%n)::VARCHAR AS a
+      FROM art, nn WHERE (7*i+1)%n <> i
+    UNION ALL
+    SELECT (13*i+3)%n, i, 'alias ' || i::VARCHAR
+      FROM art, nn WHERE (13*i+3)%n <> i
+    UNION ALL
+    SELECT 5*((11*i+2)%mm), i, 'Redirect ' || (5*((11*i+2)%mm))::VARCHAR
+      FROM art, nn WHERE 5*((11*i+2)%mm) <> i
+    UNION ALL
+    SELECT (3*i+7)%n, i, 'Doc ' || ((3*i+7)%n)::VARCHAR
+      FROM art, nn WHERE i%3=0 AND (3*i+7)%n <> i
+)
+UNION ALL
+SELECT 1000+i, 1000+3*n+i, 'Doc ' || i::VARCHAR FROM art, nn WHERE i%50=0
+UNION ALL
+SELECT 1000+(i+3)%n, 1000+3*n+i, 'Doc ' || ((i+3)%n)::VARCHAR
+  FROM art, nn WHERE i%50=0
+""",
+    "kg_categories": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS page_id,
+       CAST(100+i%10 AS BIGINT) AS category_id FROM art
+UNION ALL
+SELECT 1000+i, 110 FROM art WHERE i%4=0
+UNION ALL SELECT 100+k, 120 FROM range(10) t(k)
+UNION ALL SELECT 110, 120
+""",
+    "kg_related": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS page_id,
+       CAST(1000+(3*i+7)%n AS BIGINT) AS related_id
+FROM art, nn WHERE i%3=0 AND (3*i+7)%n <> i
+""",
+    "kg_redirects": _KG_BASE + """
+SELECT 'unknown' AS from_id, 'Redirect '||i::VARCHAR AS from_title,
+       (1000+i)::VARCHAR AS to_id, 'Doc '||i::VARCHAR AS to_title
+FROM art WHERE i%5=0
+UNION ALL
+SELECT 'unknown', 'Double 0', 'unknown', 'Redirect 0'
+""",
+    "kg_external": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS source_id,
+       'http://example.org/doc/'||i::VARCHAR AS url,
+       'homepage '||i::VARCHAR AS anchor
+FROM art WHERE i%6=0
+UNION ALL
+SELECT 1000+i, 'http://data.example.com/'||i::VARCHAR, NULL
+FROM art WHERE i%6=0
+""",
+    "kg_interwiki": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS page_id, 'Memoryalpha' AS namespace,
+       'Doc '||i::VARCHAR AS title
+FROM art WHERE i%8=0
+""",
+    "kg_template_inclusions": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS page_id, CAST(11 AS BIGINT) AS template_id,
+       CAST(0 AS INTEGER) AS incl_idx, 'name' AS param,
+       'Doc '||i::VARCHAR AS value FROM art
+UNION ALL
+SELECT 1000+i, 11, 0, 'num', i::VARCHAR FROM art
+UNION ALL
+SELECT 1000+i, 11, 0, 'cat', 'topic '||(i%10)::VARCHAR FROM art
+UNION ALL SELECT 1000+i, 12, 0, NULL, NULL FROM art WHERE i%7=0
+UNION ALL SELECT 1000+i, 13, 0, NULL, NULL FROM art WHERE i%7=0
+""",
+    "kg_disambig": _KG_BASE + """
+SELECT CAST(1000+3*n+i AS BIGINT) AS disambig_id,
+       CAST(0 AS INTEGER) AS line_no, CAST(0 AS INTEGER) AS pos,
+       CAST(1000+i AS BIGINT) AS target_id,
+       'Doc '||i::VARCHAR AS anchor_text
+FROM art, nn WHERE i%50=0
+UNION ALL
+SELECT 1000+3*n+i, 1, 0, 1000+(i+3)%n, 'Doc '||((i+3)%n)::VARCHAR
+FROM art, nn WHERE i%50=0
+""",
+    "kg_pages": _KG_BASE + """
+SELECT CAST(1000+i AS BIGINT) AS page_id, 'Doc '||i::VARCHAR AS title,
+       CAST(CASE WHEN i%7=0 THEN 1 ELSE 0 END AS INTEGER) AS is_stub,
+       CAST(0 AS INTEGER) AS is_disambig,
+       CAST(0 AS INTEGER) AS is_category,
+       CAST(0 AS INTEGER) AS is_image
+FROM art
+UNION ALL
+SELECT CAST(100+k AS BIGINT), 'Category:Topic '||k::VARCHAR, 0, 0, 1, 0
+FROM range(10) t(k)
+UNION ALL SELECT 110, 'Category:Even4', 0, 0, 1, 0
+UNION ALL SELECT 120, 'Category:Topics', 0, 0, 1, 0
+UNION ALL
+SELECT CAST(1000+3*n+i AS BIGINT), 'Doc '||i::VARCHAR||' (disambiguation)',
+       0, 1, 0, 0
+FROM art, nn WHERE i%50=0
+""",
+    # redirect transitive closure over the synthetic chain graph derived
+    # from orders: parent(k) = k-1000 for k >= 1000 -> root k%1000,
+    # depth k//1000 (closed form; the Spark side does real pointer jumping)
+    "graph_closure": """
+SELECT o_orderkey::BIGINT AS node,
+       (o_orderkey%1000)::BIGINT AS root,
+       (o_orderkey//1000)::BIGINT AS depth
+FROM orders WHERE o_orderkey >= 1000
+""",
+    # connected components over customer->nation->region edges: the
+    # component label is the global minimum node id, which is the smallest
+    # customer key in the region (customer keys < nation node ids < region
+    # node ids by construction)
+    "graph_components": """
+WITH nodes AS (
+    SELECT c_custkey::BIGINT AS node, n.n_regionkey AS region
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT (10000000+n_nationkey)::BIGINT, n_regionkey FROM nation
+    UNION ALL
+    SELECT (20000000+r_regionkey)::BIGINT, r_regionkey FROM region
+),
+labels AS (SELECT region, min(node) AS component FROM nodes GROUP BY region)
+SELECT n.node, l.component::BIGINT AS component
+FROM nodes n JOIN labels l USING (region)
+""",
+}
+
+TPCH_ORACLES = {
+    # TPC-H Q1 shape: scan + filter + aggregate
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    # broadcast-join shape: orders x customer x nation x region
+    "q_join_revenue_by_nation": """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    # window/top-k shape: biggest order per customer
+    "q_window_top_order": """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    # anti-join shape: customers without orders
+    "q_anti_customers_without_orders": """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+""",
+    # event-time windowed aggregation (batch equivalent of the streaming op)
+    "q_events_hourly": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+}
+
+
+def textops_oracles():
+    """Oracles for the text-analysis / dedup / similarity operators — exact
+    SQL re-implementations of the same deterministic logic."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
+    en = "['the','and','of','to','in','is','that','with']"
+    sql = {}
+    sql["dedup_exact"] = f"""
+SELECT md5({norm}) AS content_md5,
+       min(doc_id)::BIGINT AS representative_id,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+    sql["text_token_stats"] = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       length({norm})::BIGINT AS n_chars_norm
+FROM documents
+"""
+    sql["text_fingerprint"] = f"""
+SELECT doc_id::BIGINT AS doc_id, md5({norm}) AS fingerprint,
+       len({toks})::VARCHAR || '|' || {toks}[1] || '|' || {toks}[-1]
+         AS shape_key
+FROM documents
+"""
+    sql["text_quality"] = f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id, {norm} AS t, {toks} AS w FROM documents
+), f AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS n_tokens,
+         length(t)::DOUBLE AS n_chars,
+         length(regexp_replace(t, '[^a-z]', '', 'g'))::DOUBLE AS alpha_chars,
+         len(list_filter(w, x -> list_contains({en}, x)))::DOUBLE AS stop_hits
+  FROM b
+)
+SELECT doc_id,
+  round(CASE WHEN n_tokens>0 THEN stop_hits/n_tokens ELSE 0 END, 6)
+    AS stopword_ratio,
+  round(CASE WHEN n_chars>0 THEN alpha_chars/n_chars ELSE 0 END, 6)
+    AS alpha_ratio,
+  round(CASE WHEN n_tokens>0 THEN (n_chars-(n_tokens-1))/n_tokens ELSE 0 END,
+        6) AS mean_token_len,
+  round(
+    least(CASE WHEN n_tokens>0 THEN stop_hits/n_tokens ELSE 0 END*2.0,1.0)*0.5
+    + least(CASE WHEN n_chars>0 THEN alpha_chars/n_chars ELSE 0 END,1.0)*0.3
+    + CASE WHEN n_tokens>=20 AND n_tokens<=1000 THEN 0.2 ELSE 0 END, 6)
+    AS quality_score
+FROM f
+"""
+    # token-set Jaccard near-dup pairs at >= 0.5, rounded for stable hashing
+    sql["dedup_token_jaccard"] = f"""
+WITH t AS (
+  SELECT doc_id AS doc, list_distinct({toks}) AS toks FROM documents
+), e AS (
+  SELECT doc, unnest(toks) AS tok, len(toks) AS sz FROM t
+), p AS (
+  SELECT l.doc AS doc_a, r.doc AS doc_b, count(*)::BIGINT AS inter,
+         any_value(l.sz) AS sz_a, any_value(r.sz) AS sz_b
+  FROM e l JOIN e r USING (tok) WHERE l.doc < r.doc
+  GROUP BY l.doc, r.doc
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(inter/(sz_a+sz_b-inter), 6) AS jaccard
+FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.5
+"""
+    return sql
+
+
+def all_oracles():
+    out = {}
+    out.update(KG_ORACLES)
+    out.update(TPCH_ORACLES)
+    out.update(textops_oracles())
+    return out

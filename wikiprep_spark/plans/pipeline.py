@@ -1,0 +1,212 @@
+"""End-to-end pipeline orchestration with checkpoint/resume and metrics.
+
+Stage graph (SURVEY.md §7.1):
+
+  src_pages ─ stage0 parse ─┬─ prescan aggregations ─ broadcast dicts ─┐
+                            └──────────────── transform (mapInPandas) ┴─ edges/triples
+
+Each materialized stage writes a parquet table under ``work_dir`` (the
+Iceberg-table stand-in in this environment — swap the writer for
+``writeTo(...).createOrReplace()`` on a cluster with an Iceberg catalog).
+A completed stage is detected by Spark's ``_SUCCESS`` marker, so a killed
+run resumes from the last finished stage without recomputing earlier ones;
+within a stage, Spark's task retry handles partial work.  Per-stage metrics
+(rows, seconds) and per-partition lineage (row counts, sha256 checksums of
+the input contents) land in ``work_dir/metrics`` and ``work_dir/lineage``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wikiprep_spark.operators import edges as edge_ops
+from wikiprep_spark.operators import prescan as prescan_ops
+from wikiprep_spark.operators.transform import transform_pages
+from wikiprep_spark.sources.pages import parse_pages
+
+EDGE_BUILDERS = {
+    "anchors": edge_ops.anchors_edges,
+    "links": edge_ops.links_edges,
+    "categories": edge_ops.categories_edges,
+    "related": edge_ops.related_edges,
+    "interwiki": edge_ops.interwiki_edges,
+    "external": edge_ops.external_edges,
+    "bare_urls": edge_ops.bare_urls_edges,
+    "disambig": edge_ops.disambig_edges,
+    "template_inclusions": edge_ops.template_inclusion_edges,
+    "pages": edge_ops.pages_table,
+}
+
+
+class Metrics:
+    def __init__(self):
+        self.stages = []
+
+    def record(self, stage: str, seconds: float, rows: int | None = None,
+               **extra):
+        entry = {"stage": stage, "seconds": round(seconds, 3), "rows": rows}
+        entry.update(extra)
+        self.stages.append(entry)
+
+    def save(self, path: str):
+        with open(path, "w") as fh:
+            for entry in self.stages:
+                fh.write(json.dumps(entry) + "\n")
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write(df: DataFrame, path: str, partition_by=None):
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def lineage_df(parsed: DataFrame) -> DataFrame:
+    """Per-input-partition lineage: row count plus an order-insensitive
+    checksum over the content sha256 values (verifies the per-row content
+    invariant survives every re-run / resume)."""
+    return (
+        parsed.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.crc32(F.col("content_sha256")).alias("crc"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("crc").alias("content_checksum"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src_pages: DataFrame,
+    work_dir: str | None = None,
+    resume: bool = True,
+    persist: bool = True,
+) -> dict:
+    """Run the full src_pages -> triples pipeline.
+
+    Returns a dict of DataFrames: parsed, transformed, every edge table,
+    redirect_records, template_index, triples, plus the collected metrics
+    object under key "_metrics".
+    """
+    metrics = Metrics()
+    out: dict = {}
+
+    # --- stage 0: parse
+    t0 = time.time()
+    if work_dir:
+        parsed_path = os.path.join(work_dir, "parsed_pages")
+        if not (resume and _stage_done(parsed_path)):
+            _write(parse_pages(src_pages), parsed_path)
+        parsed = spark.read.parquet(parsed_path)
+    else:
+        parsed = parse_pages(src_pages)
+        if persist:
+            parsed = parsed.persist()
+    metrics.record("parse", time.time() - t0)
+
+    # --- stage 1: prescan aggregations (skinny projections of parsed)
+    t0 = time.time()
+    live = prescan_ops.live_pages(parsed)
+    claims = prescan_ops.title_claims(live)
+    title2id = prescan_ops.title2id_df(live, claims)
+    redirects = prescan_ops.redirects_df(live, claims)
+    template_pages = prescan_ops.template_pages_df(live, claims)
+    template_bodies = prescan_ops.template_bodies_df(template_pages)
+    template_index = template_pages.select(
+        F.col("page_id").alias("template_id"),
+        F.col("title_norm").alias("title"),
+    )
+
+    # --- stage 2: collect + broadcast the dictionaries
+    t2i, red, bodies = prescan_ops.collect_env(
+        title2id, redirects, template_bodies
+    )
+    env_b = spark.sparkContext.broadcast((t2i, red, bodies))
+    metrics.record(
+        "prescan", time.time() - t0,
+        titles=len(t2i), redirects=len(red), templates=len(bodies),
+    )
+
+    # --- stage 3: transform
+    t0 = time.time()
+    if work_dir:
+        transformed_path = os.path.join(work_dir, "transformed_pages")
+        if not (resume and _stage_done(transformed_path)):
+            _write(transform_pages(live, env_b), transformed_path)
+        transformed = spark.read.parquet(transformed_path)
+    else:
+        transformed = transform_pages(live, env_b)
+        if persist:
+            transformed = transformed.persist()
+    metrics.record("transform", time.time() - t0)
+
+    # --- stages 4/5: edge tables (lazy projections of the wide table)
+    for name, builder in EDGE_BUILDERS.items():
+        out[name] = builder(transformed)
+
+    # redirect records: the dictionaries are already driver-resident for the
+    # broadcast, so derive the output join from them directly (one job saved;
+    # operators/prescan.redirect_records_df is the pure-join alternative for
+    # a no-collect deployment).
+    from wikiprep_spark.functions.prescan import build_redirect_records
+
+    recs, tmpl_recs = build_redirect_records(
+        {"title2id": t2i, "redir": red, "templates": bodies}
+    )
+    redirect_records = spark.createDataFrame(
+        [(r["from_id"], r["from_title"], r["to_id"], r["to_title"])
+         for r in recs],
+        schema="from_id string, from_title string, to_id string, to_title string",
+    )
+    template_redirects = spark.createDataFrame(
+        list(tmpl_recs),
+        schema="template_id long, alias_title string",
+    )
+    out["redirect_records"] = redirect_records
+    out["template_redirects"] = template_redirects
+    out["template_index"] = template_index
+
+    out["triples"] = edge_ops.triples_view(
+        out["links"],
+        out["anchors"],
+        out["categories"].select("page_id", "category_id"),
+        redirect_records,
+        out["related"].select("page_id", "related_id"),
+        out["disambig"],
+        out["external"],
+        out["template_inclusions"],
+    )
+
+    if work_dir:
+        t0 = time.time()
+        triples_path = os.path.join(work_dir, "triples")
+        if not (resume and _stage_done(triples_path)):
+            # partitioned by predicate: partition pruning for per-edge reads
+            _write(out["triples"], triples_path, partition_by="pred")
+        out["triples"] = spark.read.parquet(triples_path)
+        metrics.record("triples", time.time() - t0)
+
+        lineage_path = os.path.join(work_dir, "lineage")
+        if not (resume and _stage_done(lineage_path)):
+            _write(lineage_df(parsed), lineage_path)
+        metrics.save(os.path.join(work_dir, "metrics.jsonl"))
+
+    out["parsed"] = parsed
+    out["transformed"] = transformed
+    out["title2id"] = title2id
+    out["redirects_raw"] = redirects
+    out["template_bodies"] = template_bodies
+    out["_metrics"] = metrics
+    out["_env_broadcast"] = env_b
+    return out

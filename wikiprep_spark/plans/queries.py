@@ -1,0 +1,278 @@
+"""The engine's query surface for the driver contract (__spark_entry__.py).
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` with a matching DuckDB oracle
+in plans/oracles.py (same column names; aggregates decimal-cast so the
+cross-engine value hashes are exact).
+
+The knowledge-graph queries run the full markup pipeline over the synthetic
+corpus derived from ``documents`` (sources/corpus.py); the pipeline result
+is memoized per sf_dir so the driver's per-query calls share one run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wikiprep_spark.operators import dedup, graph, similarity, textops
+from wikiprep_spark.plans.pipeline import run_pipeline
+from wikiprep_spark.sources.corpus import build_src_pages
+
+_PIPELINE_CACHE: dict = {}
+
+
+def kg_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _PIPELINE_CACHE:
+        src = build_src_pages(spark, sf_dir)
+        _PIPELINE_CACHE[key] = run_pipeline(spark, src)
+    return _PIPELINE_CACHE[key]
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- knowledge-graph queries (full pipeline; oracles are closed-form) ----
+
+def kg_links(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["links"]
+
+
+def kg_anchors(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["anchors"].select(
+        "target_id", "source_id", "anchor_text"
+    )
+
+
+def kg_categories(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["categories"].select(
+        "page_id", "category_id"
+    )
+
+
+def kg_related(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["related"].select(
+        "page_id", "related_id"
+    )
+
+
+def kg_redirects(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["redirect_records"]
+
+
+def kg_external(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["external"]
+
+
+def kg_interwiki(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["interwiki"]
+
+
+def kg_template_inclusions(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["template_inclusions"]
+
+
+def kg_disambig(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["disambig"].select(
+        "disambig_id", "line_no", "pos", "target_id", "anchor_text"
+    )
+
+
+def kg_pages(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir)["pages"].select(
+        "page_id", "title", "is_stub", "is_disambig", "is_category",
+        "is_image",
+    )
+
+
+# --- graph algorithms over derived edge sets -----------------------------
+
+def graph_closure(spark, sf_dir):
+    """Redirect-chain-style transitive closure via pointer jumping over the
+    dense orders-key chain graph (edge k -> k-1000)."""
+    orders = _read(spark, sf_dir, "orders")
+    edges = orders.where(F.col("o_orderkey") >= 1000).select(
+        F.col("o_orderkey").alias("src"),
+        (F.col("o_orderkey") - 1000).alias("dst"),
+    )
+    return graph.transitive_closure_roots(edges)
+
+
+def graph_components(spark, sf_dir):
+    """Connected components (min-label propagation) over the
+    customer-nation-region membership graph."""
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    e1 = customer.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey") + 10000000).cast("long").alias("dst"),
+    )
+    e2 = nation.select(
+        (F.col("n_nationkey") + 10000000).cast("long").alias("src"),
+        (F.col("n_regionkey") + 20000000).cast("long").alias("dst"),
+    )
+    _ = region  # region nodes appear as e2 dst
+    return graph.connected_components(e1.unionByName(e2))
+
+
+# --- TPC-H-ish relational coverage ---------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast(
+            "timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                            - dec("l_discount"))).alias(
+                "sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"),
+        )
+    )
+
+
+def q_window_top_order(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_anti_customers_without_orders(spark, sf_dir):
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select("o_custkey").distinct(),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q_events_hourly(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# --- dedup / text / similarity -------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def dedup_token_jaccard(spark, sf_dir):
+    pairs = dedup.token_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+def text_token_stats(spark, sf_dir):
+    return textops.token_stats(_read(spark, sf_dir, "documents"))
+
+
+def text_quality(spark, sf_dir):
+    return textops.quality_score(_read(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def text_lang_id(spark, sf_dir):
+    return textops.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def sim_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def sim_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return similarity.lsh_cosine_topk(emb, queries, dim=dim, k=5)
+
+
+QUERIES = {
+    "kg_links": kg_links,
+    "kg_anchors": kg_anchors,
+    "kg_categories": kg_categories,
+    "kg_related": kg_related,
+    "kg_redirects": kg_redirects,
+    "kg_external": kg_external,
+    "kg_interwiki": kg_interwiki,
+    "kg_template_inclusions": kg_template_inclusions,
+    "kg_disambig": kg_disambig,
+    "kg_pages": kg_pages,
+    "graph_closure": graph_closure,
+    "graph_components": graph_components,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_join_revenue_by_nation": q_join_revenue_by_nation,
+    "q_window_top_order": q_window_top_order,
+    "q_anti_customers_without_orders": q_anti_customers_without_orders,
+    "q_events_hourly": q_events_hourly,
+    "dedup_exact": dedup_exact,
+    "dedup_token_jaccard": dedup_token_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+    "text_lang_id": text_lang_id,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+}

@@ -1,0 +1,68 @@
+"""Incremental / streaming ingest of src_pages.
+
+The reference is strictly batch (SURVEY.md §2.9) — incremental updates were
+handled offline by tools/riffle.  Spark-natively, the same per-page
+transform runs unchanged under Structured Streaming: readStream on the
+src_pages directory -> the stage-0 parse + transform mapInPandas chain ->
+append-mode edge sinks.  The prescan dictionaries are a batch artifact
+(broadcast), matching the reference's prescan/transform split: new
+pages are transformed against the latest published dictionary snapshot and
+dictionaries are refreshed by periodic batch prescans.
+
+Also provides windowed/watermarked event aggregation as the streaming
+counterpart of q_events_hourly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wikiprep_spark.operators.transform import transform_pages
+from wikiprep_spark.sources.pages import parse_pages
+
+
+def stream_src_pages(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    """readStream over a parquet directory of src_pages rows."""
+    return (
+        spark.readStream.schema(
+            "repo string, path string, commit string, lang string, "
+            "content string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_transform(src_stream: DataFrame, env_broadcast) -> DataFrame:
+    """The identical parse+transform chain, applied to a streaming
+    DataFrame — mapInPandas is streaming-compatible as a stateless
+    projection."""
+    return transform_pages(parse_pages(src_stream), env_broadcast)
+
+
+def start_edge_sink(transformed: DataFrame, out_dir: str,
+                    checkpoint_dir: str):
+    """Append-mode parquet sink with checkpointing (exactly-once per file)."""
+    return (
+        transformed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame,
+                          watermark: str = "1 hour",
+                          window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows beyond the watermark are dropped, state is bounded."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
