@@ -51,35 +51,58 @@ def _token_sets(docs: DataFrame, id_col, text_col) -> DataFrame:
 def token_jaccard_pairs(
     docs: DataFrame, id_col="doc_id", text_col="text", threshold=0.5
 ) -> DataFrame:
-    """Near-duplicate pairs by token-set Jaccard similarity.
+    """EXACT near-duplicate pairs by token-set Jaccard >= threshold, via
+    prefix filtering (the PPJoin family).
 
-    Inverted-index join (explode tokens -> join on token -> count shared)
-    instead of a cross join: the shuffle is proportional to the posting
-    lists, not n². Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    For J(a,b) >= t, a and b must share a token within the first
+    |d| - ceil(t*|d|) + 1 tokens when both token sets are sorted by global
+    rarity — so the inverted-index join runs only over those prefixes, and
+    the full sets meet again only for surviving candidate pairs.  The
+    prefix lists shrink with the threshold, and the rarity ordering keeps
+    posting lists short, which is what makes this join survive web-scale
+    corpora where raw token joins explode on stopwords.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     toks = _token_sets(docs, id_col, text_col)
-    sizes = toks.select("doc", F.size("toks").alias("sz"))
     posting = toks.select("doc", F.explode("toks").alias("tok"))
-    pairs = (
-        posting.alias("l")
-        .join(posting.alias("r"), "tok")
-        .where(F.col("l.doc") < F.col("r.doc"))
-        .groupBy(
-            F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b")
+    tok_df = posting.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        posting.join(tok_df, "tok")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ranked")
         )
-        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    # prefix length p = |d| - ceil(t*|d|) + 1
+    sz = F.size("ranked")
+    p = (sz - F.ceil(sz * F.lit(float(threshold))) + 1).cast("int")
+    prefix = ranked.select(
+        "doc",
+        F.explode(F.slice(F.transform("ranked", lambda s: s["tok"]),
+                          1, p)).alias("tok"),
+    )
+    candidates = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b")
-              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        candidates.join(
+            toks.select(F.col("doc").alias("doc_a"),
+                        F.col("toks").alias("toks_a")), "doc_a")
+        .join(
+            toks.select(F.col("doc").alias("doc_b"),
+                        F.col("toks").alias("toks_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -118,7 +118,14 @@ def run_pipeline(
     # --- stage 1: prescan aggregations (skinny projections of parsed)
     t0 = time.time()
     live = prescan_ops.live_pages(parsed)
+    if persist:
+        # the dictionary job unions three branches that each reference this
+        # subplan; Spark does no cross-branch CSE, so cache it once
+        # (MEMORY_AND_DISK: spills, never recomputes the XML parse)
+        live = live.persist()
     claims = prescan_ops.title_claims(live)
+    if persist:
+        claims = claims.persist()  # shared by all three dictionary branches
     title2id = prescan_ops.title2id_df(live, claims)
     redirects = prescan_ops.redirects_df(live, claims)
     template_pages = prescan_ops.template_pages_df(live, claims)
