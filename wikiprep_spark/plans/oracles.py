@@ -124,6 +124,30 @@ SELECT CAST(1000+3*n+i AS BIGINT), 'Doc '||i::VARCHAR||' (disambiguation)',
        0, 1, 0, 0
 FROM art, nn WHERE i%50=0
 """,
+    "kg_category_counts": _KG_BASE + """
+SELECT CAST(100+i%10 AS BIGINT) AS category_id,
+       count(*)::BIGINT AS n_pages FROM art GROUP BY 1
+UNION ALL
+SELECT 110, count(*)::BIGINT FROM art WHERE i%4=0
+UNION ALL
+SELECT 120, 11  -- the 11 topic/even4 category pages under Category:Topics
+""",
+    "kg_redirect_closure": _KG_BASE + """
+SELECT 'Redirect '||i::VARCHAR AS from_title,
+       'Doc '||i::VARCHAR AS canonical_title, CAST(1 AS BIGINT) AS hops
+FROM art WHERE i%5=0
+UNION ALL SELECT 'Double 0', 'Doc 0', 2
+UNION ALL SELECT 'Template:Ibox', 'Template:Infobox', 1
+""",
+    "kg_canonical_titles": _KG_BASE + """
+SELECT 'Doc '||i::VARCHAR AS title, 'Doc '||i::VARCHAR AS canonical
+FROM art WHERE i%5=0
+UNION ALL
+SELECT 'Redirect '||i::VARCHAR, 'Doc '||i::VARCHAR FROM art WHERE i%5=0
+UNION ALL SELECT 'Double 0', 'Doc 0'
+UNION ALL SELECT 'Template:Ibox', 'Template:Ibox'
+UNION ALL SELECT 'Template:Infobox', 'Template:Ibox'
+""",
     # redirect transitive closure over the synthetic chain graph derived
     # from orders: parent(k) = k-1000 for k >= 1000 -> root k%1000,
     # depth k//1000 (closed form; the Spark side does real pointer jumping)
@@ -199,6 +223,13 @@ FROM events
 GROUP BY 1, 2
 """,
 }
+
+
+# incoming-link counts: group the links oracle by target
+KG_ORACLES["kg_incoming_links"] = (
+    "WITH links AS (" + KG_ORACLES["kg_links"] + ") "
+    "SELECT target_id, count(*)::BIGINT AS n_links FROM links GROUP BY 1"
+)
 
 
 def textops_oracles():

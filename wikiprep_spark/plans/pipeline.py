@@ -77,11 +77,13 @@ def lineage_df(parsed: DataFrame) -> DataFrame:
         parsed.select(
             F.spark_partition_id().alias("partition_id"),
             F.crc32(F.col("content_sha256")).alias("crc"),
+            F.length("text").alias("text_chars"),
         )
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("rows"),
             F.sum("crc").alias("content_checksum"),
+            F.sum("text_chars").alias("byte_count"),
         )
     )
 

@@ -85,6 +85,44 @@ def kg_pages(spark, sf_dir):
     )
 
 
+def kg_category_counts(spark, sf_dir):
+    """Statistics.pm A3 as a salted two-phase aggregation."""
+    from wikiprep_spark.operators.stats import category_counts
+
+    return category_counts(kg_pipeline(spark, sf_dir)["categories"])
+
+
+def kg_incoming_links(spark, sf_dir):
+    """Statistics.pm A4 as a salted two-phase aggregation."""
+    from wikiprep_spark.operators.stats import incoming_link_counts
+
+    return incoming_link_counts(kg_pipeline(spark, sf_dir)["links"])
+
+
+def kg_redirect_closure(spark, sf_dir):
+    """North-rule canonicalization: full redirect transitive closure
+    (the P/R-gated edges keep the reference's 1-hop rule; this is the
+    separate canonical_map)."""
+    redirects = kg_pipeline(spark, sf_dir)["redirects_raw"]
+    return graph.redirect_canonical_map(
+        redirects.select("from_title", "to_title")
+    )
+
+
+def kg_canonical_titles(spark, sf_dir):
+    """North-rule canonicalization: connected components over the
+    redirect-equivalence title graph (string-labeled min-label
+    propagation)."""
+    redirects = kg_pipeline(spark, sf_dir)["redirects_raw"]
+    cc = graph.connected_components(
+        redirects.select(
+            F.col("from_title").alias("src"), F.col("to_title").alias("dst")
+        )
+    )
+    return cc.select(F.col("node").alias("title"),
+                     F.col("component").alias("canonical"))
+
+
 # --- graph algorithms over derived edge sets -----------------------------
 
 def graph_closure(spark, sf_dir):
@@ -258,6 +296,10 @@ QUERIES = {
     "kg_template_inclusions": kg_template_inclusions,
     "kg_disambig": kg_disambig,
     "kg_pages": kg_pages,
+    "kg_category_counts": kg_category_counts,
+    "kg_incoming_links": kg_incoming_links,
+    "kg_redirect_closure": kg_redirect_closure,
+    "kg_canonical_titles": kg_canonical_titles,
     "graph_closure": graph_closure,
     "graph_components": graph_components,
     "q1_pricing_summary": q1_pricing_summary,

@@ -82,6 +82,14 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def sample_pages(src_pages: DataFrame, fraction: float,
+                 seed: int = 42) -> DataFrame:
+    """Bernoulli page sampling for building test sets — the reference's
+    samplewiki tool (tools/samplewiki/samplewiki.c:26-40), seeded for
+    reproducibility."""
+    return src_pages.sample(fraction=fraction, seed=seed)
+
+
 def parse_pages(src_pages: DataFrame) -> DataFrame:
     """src_pages -> parsed page table (one XML parse per row, Arrow-batched)."""
 
