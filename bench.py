@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",

@@ -76,9 +76,17 @@ def _link_tag(target: str, content: str, interwiki) -> str:
     return '<a id="%s">%s</a>' % (target, content)
 
 
+_ANCHOR_FASTPATH_CHARS = frozenset("<{'&=.\n")
+
+
 def postprocess_text(text: str, interwiki=None) -> str:
     """bin/wikiprep:762-891. ``interwiki`` is the page's interwiki-link list;
     None means "anchor-text mode" (no XML encoding / link tags)."""
+    if interwiki is None and not (_ANCHOR_FASTPATH_CHARS & set(text)):
+        # anchor-mode fast path: every substitution below requires at least
+        # one of these characters; plain anchors (the common case) skip the
+        # whole regex chain untouched
+        return text
     text = _INCLUDEONLY_RE.sub(" ", text)
     text = _ONLYINCLUDE_RE.sub(" ", text)
     text = _TIMELINE_RE.sub(" ", text)

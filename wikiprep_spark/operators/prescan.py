@@ -1,18 +1,24 @@
 """Distributed prescan (pipeline pass 1).
 
 Builds the cross-page dictionaries — title2id, redirects, template bodies,
-template index — as DataFrames with the exact sequential semantics of the
-reference prescan (first-page-wins per id, first-page-wins per title,
+template index — with the exact sequential semantics of the reference
+prescan (first-page-wins per id, first-page-wins per title,
 last-redirect-wins, redirect-vs-title ordering; see
 wikiprep_spark/functions/prescan.py for the semantic oracle and the cited
 reference lines).
 
-Scale notes: every dedup here is expressed as a min/max aggregation over a
-SKINNY projection (seq/id/title only — parquet column pruning keeps the page
-text out of these shuffles) followed by a semi/equi join back.  No global
-windows, no single-partition stages.  The dictionaries are then collected
-and broadcast for the transform stage — the Spark equivalent of the
-reference's read-only BerkeleyDB tables shared across workers.
+Shuffle budget (the part that must survive 100 TB):
+  1. duplicate-id detection: a count aggregation over the skinny
+     (page_id, seq) projection; the loser row keys are joined back as a
+     BROADCAST anti join, so the full-text rows are never shuffled and no
+     second copy of the corpus is materialized.
+  2. ONE groupBy(title_norm) aggregation computing, per title, the
+     first non-redirect claim, the last redirect, and the template-body
+     candidates together — all three dictionaries derive from this single
+     shuffle (only template rows carry text into it).
+The dictionaries are then pulled with Arrow toPandas and broadcast for the
+transform stage — the Spark equivalent of the reference's read-only
+BerkeleyDB tables shared across workers (bin/wikiprep:482-512).
 """
 
 from __future__ import annotations
@@ -24,13 +30,24 @@ from wikiprep_spark.functions.templates import preprocess_template_body
 
 def live_pages(parsed: DataFrame) -> DataFrame:
     """First page wins per id over ALL pages, in dump (seq) order
-    (bin/wikiprep:466-470). Returns parsed rows minus losers."""
-    winners = (
-        parsed.where(F.col("page_id").isNotNull())
-        .groupBy("page_id")
-        .agg(F.min("seq").alias("seq"))
+    (bin/wikiprep:466-470).
+
+    Duplicate ids are rare, so the losers (every (page_id, seq) beyond the
+    first occurrence) form a small set that broadcast-anti-joins against
+    the full rows — no shuffle of the page texts."""
+    ids = parsed.where(F.col("page_id").isNotNull()).select("page_id", "seq")
+    dup_ids = (
+        ids.groupBy("page_id")
+        .agg(F.min("seq").alias("win_seq"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("page_id", "win_seq")
     )
-    return parsed.join(winners, ["page_id", "seq"], "leftsemi")
+    losers = (
+        ids.join(F.broadcast(dup_ids), "page_id")
+        .where(F.col("seq") != F.col("win_seq"))
+        .select("page_id", "seq")
+    )
+    return parsed.join(F.broadcast(losers), ["page_id", "seq"], "left_anti")
 
 
 def _prescan_candidates(live: DataFrame) -> DataFrame:
@@ -41,77 +58,86 @@ def _prescan_candidates(live: DataFrame) -> DataFrame:
     )
 
 
-def title_claims(live: DataFrame) -> DataFrame:
-    """(title_norm, claim_seq) — the seq of the first NON-redirect ok page
-    per normalized title; only these claim title2id (Link.pm:53-73).
-    A redirect with an empty normalized target counts as non-redirect here
-    but claims no title (Link.pm:66): excluded from claims too."""
-    return (
-        _prescan_candidates(live)
-        .where(F.col("redirect_target").isNull())
-        .groupBy("title_norm")
-        .agg(F.min("seq").alias("claim_seq"))
+def title_aggregate(live: DataFrame) -> DataFrame:
+    """The single title-keyed aggregation all three dictionaries derive
+    from. Per normalized title:
+
+    - claim: (seq, page_id) of the FIRST non-redirect page — it owns
+      title2id (Link.pm:53-73)
+    - last_red: (seq, target, page_id) of the LAST redirect page
+      (unconditional overwrite at Link.pm:67)
+    - tmpls: every Template-namespace candidate (non-redirect, or redirect
+      with empty normalized target per Link.pm:66) with its raw body text.
+      collect_list is bounded by same-title template-candidate multiplicity
+      (~1 in any real dump).
+    """
+    cand = _prescan_candidates(live)
+    is_redirect = F.col("redirect_target").isNotNull() & (
+        F.length("redirect_target") > 0
+    )
+    is_nonredirect = F.col("redirect_target").isNull()
+    tmpl_cand = F.col("is_template") & (
+        F.col("redirect_target").isNull()
+        | (F.length("redirect_target") == 0)
+    )
+    return cand.groupBy("title_norm").agg(
+        F.min(
+            F.when(is_nonredirect, F.struct("seq", "page_id"))
+        ).alias("claim"),
+        F.max(
+            F.when(
+                is_redirect,
+                F.struct("seq", F.col("redirect_target"), "page_id"),
+            )
+        ).alias("last_red"),
+        F.collect_list(
+            F.when(tmpl_cand, F.struct("seq", "page_id", "text"))
+        ).alias("tmpls"),
     )
 
 
-def title2id_df(live: DataFrame, claims: DataFrame | None = None) -> DataFrame:
+def title2id_df(agg: DataFrame) -> DataFrame:
     """(title_norm, page_id): the winning non-redirect page per title."""
-    claims = claims if claims is not None else title_claims(live)
-    return (
-        _prescan_candidates(live)
-        .where(F.col("redirect_target").isNull())
-        .join(
-            claims.withColumnRenamed("claim_seq", "seq"),
-            ["title_norm", "seq"],
-            "leftsemi",
-        )
-        .select("title_norm", "page_id")
+    return agg.where(F.col("claim").isNotNull()).select(
+        "title_norm", F.col("claim.page_id").alias("page_id")
     )
 
 
-def redirects_df(live: DataFrame, claims: DataFrame | None = None) -> DataFrame:
-    """(from_title, to_title, from_page_id): the redirect map.
-
-    A redirect is dropped when an earlier non-redirect page already claimed
-    its title (the exists-check at Link.pm:53 runs BEFORE redirect parsing);
-    among surviving redirects for a title the LAST one wins (unconditional
-    assignment at Link.pm:67)."""
-    claims = claims if claims is not None else title_claims(live)
-    cand = (
-        _prescan_candidates(live)
-        .where(
-            F.col("redirect_target").isNotNull()
-            & (F.length("redirect_target") > 0)
-        )
-        .join(claims, "title_norm", "left")
-        .where(F.col("claim_seq").isNull() | (F.col("claim_seq") > F.col("seq")))
-    )
-    last = cand.groupBy("title_norm").agg(F.max("seq").alias("seq"))
+def redirects_df(agg: DataFrame) -> DataFrame:
+    """(from_title, to_title, from_page_id): the redirect map.  A redirect
+    is dropped when an earlier non-redirect page already claimed its title
+    (the exists-check at Link.pm:53 runs BEFORE redirect parsing); among
+    survivors the LAST one wins."""
     return (
-        cand.join(last, ["title_norm", "seq"], "leftsemi")
+        agg.where(
+            F.col("last_red").isNotNull()
+            & (
+                F.col("claim").isNull()
+                | (F.col("claim.seq") > F.col("last_red.seq"))
+            )
+        )
         .select(
             F.col("title_norm").alias("from_title"),
-            F.col("redirect_target").alias("to_title"),
-            F.col("page_id").alias("from_page_id"),
+            F.col("last_red.redirect_target").alias("to_title"),
+            F.col("last_red.page_id").alias("from_page_id"),
         )
     )
 
 
-def template_pages_df(live: DataFrame, claims: DataFrame | None = None) -> DataFrame:
+def template_pages_df(agg: DataFrame) -> DataFrame:
     """Template-namespace pages that pass Templates::prescan's gate: the
-    Link::prescan call returned true — non-redirect (or redirect with empty
-    normalized target) and not shadowed by an earlier same-title page."""
-    claims = claims if claims is not None else title_claims(live)
-    return (
-        _prescan_candidates(live)
-        .where(F.col("is_template"))
-        .where(
-            F.col("redirect_target").isNull()
-            | (F.length("redirect_target") == 0)
-        )
-        .join(claims, "title_norm", "left")
-        .where(F.col("claim_seq").isNull() | (F.col("claim_seq") >= F.col("seq")))
-        .drop("claim_seq")
+    Link::prescan call returned true — not shadowed by an earlier
+    same-title page."""
+    t = agg.select(
+        "title_norm", "claim", F.explode("tmpls").alias("t")
+    )
+    return t.where(
+        F.col("claim").isNull() | (F.col("claim.seq") >= F.col("t.seq"))
+    ).select(
+        F.col("t.page_id").alias("page_id"),
+        "title_norm",
+        F.col("t.text").alias("text"),
+        F.col("t.seq").alias("seq"),
     )
 
 
@@ -128,14 +154,10 @@ def template_bodies_df(template_pages: DataFrame) -> DataFrame:
     )
 
 
-def collect_env(title2id: DataFrame, redirects: DataFrame,
-                template_bodies: DataFrame):
-    """Collect the three dictionary DataFrames into plain dicts for
-    broadcasting into the transform UDF (the reference's prescanSave /
-    prescanLoad boundary, bin/wikiprep:482-512).
-
-    Collected as ONE tagged union so the shared upstream (parsed pages,
-    live-page winners, title claims) is computed in a single job."""
+def tagged_dicts_df(title2id: DataFrame, redirects: DataFrame,
+                    template_bodies: DataFrame) -> DataFrame:
+    """All three dictionaries as one tagged (kind, k, v) table — the
+    persisted form of the reference's prescanSave output."""
     tagged = (
         title2id.select(
             F.lit("t").alias("kind"),
@@ -157,17 +179,18 @@ def collect_env(title2id: DataFrame, redirects: DataFrame,
             )
         )
     )
-    t2i: dict = {}
-    red: dict = {}
-    bodies: dict = {}
-    for row in tagged.collect():
-        if row["kind"] == "t":
-            t2i[row["k"]] = int(row["v"])
-        elif row["kind"] == "r":
-            red[row["k"]] = row["v"]
-        else:
-            bodies[int(row["k"])] = row["v"]
-    return t2i, red, bodies
+    return tagged
+
+
+def write_dicts(title2id: DataFrame, redirects: DataFrame,
+                template_bodies: DataFrame, path: str) -> str:
+    """Write the tagged dictionary table as parquet (one distributed job,
+    no driver roundtrip) and return the path for worker-side loading via
+    functions/dictload.py."""
+    tagged_dicts_df(title2id, redirects, template_bodies).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
 
 
 def redirect_records_df(redirects: DataFrame, title2id: DataFrame,
@@ -178,6 +201,8 @@ def redirect_records_df(redirects: DataFrame, title2id: DataFrame,
 
     Returns (redirect_records, template_redirect_records).  Both joins are
     broadcast-able: title2id and the template list are the dimension side.
+    (The pipeline normally derives these from the already-collected dicts;
+    this join form exists for a no-collect deployment.)
     """
     tmpl_ids = template_bodies.select(
         F.col("template_id").alias("_tmpl_id")

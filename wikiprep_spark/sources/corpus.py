@@ -134,6 +134,12 @@ def build_src_pages(
     if limit is not None:
         docs = docs.where(docs.doc_id < limit)
     n_docs = docs.count()
+    # documents.parquet is a single small file -> one scan partition; spread
+    # the python-heavy downstream (XML synthesis, parse, transform) across
+    # the cluster. ~2 waves per core, bounded below to keep tasks meaningful.
+    parallelism = spark.sparkContext.defaultParallelism * 2
+    n_parts = max(2, min(parallelism, (n_docs * max(1, replicate)) // 64 or 1))
+    docs = docs.repartition(n_parts)
     n = n_docs * replicate
 
     schema = "repo string, path string, commit string, lang string, content string"
