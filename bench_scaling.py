@@ -29,7 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "80"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "160"))
 
 _CHILD_SNIPPET = r"""
 import json, sys, time

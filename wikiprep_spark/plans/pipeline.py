@@ -152,13 +152,10 @@ def run_pipeline(
             title2id, redirects, template_bodies, dicts_path
         )
 
-    from wikiprep_spark.functions.dictload import load_env_from_parquet
+    import pyarrow.dataset as _ds
 
-    t2i, red, bodies = load_env_from_parquet(dicts_path)
-    metrics.record(
-        "prescan", time.time() - t0,
-        titles=len(t2i), redirects=len(red), templates=len(bodies),
-    )
+    n_dict_rows = _ds.dataset(dicts_path, format="parquet").count_rows()
+    metrics.record("prescan", time.time() - t0, dict_rows=n_dict_rows)
 
     # --- stage 3: transform
     t0 = time.time()
@@ -177,23 +174,10 @@ def run_pipeline(
     for name, builder in EDGE_BUILDERS.items():
         out[name] = builder(transformed)
 
-    # redirect records: the dictionaries are already driver-resident for the
-    # broadcast, so derive the output join from them directly (one job saved;
-    # operators/prescan.redirect_records_df is the pure-join alternative for
-    # a no-collect deployment).
-    from wikiprep_spark.functions.prescan import build_redirect_records
-
-    recs, tmpl_recs = build_redirect_records(
-        {"title2id": t2i, "redir": red, "templates": bodies}
-    )
-    redirect_records = spark.createDataFrame(
-        [(r["from_id"], r["from_title"], r["to_id"], r["to_title"])
-         for r in recs],
-        schema="from_id string, from_title string, to_id string, to_title string",
-    )
-    template_redirects = spark.createDataFrame(
-        list(tmpl_recs),
-        schema="template_id long, alias_title string",
+    # redirect records: distributed output join against the cached title
+    # aggregate (Output/Composite.pm:83-125); both dimension sides broadcast
+    redirect_records, template_redirects = prescan_ops.redirect_records_df(
+        redirects, title2id, template_bodies
     )
     out["redirect_records"] = redirect_records
     out["template_redirects"] = template_redirects
