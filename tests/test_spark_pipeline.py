@@ -158,3 +158,23 @@ def test_analytic_expectations(result):
         "links_to", "anchored_by", "in_category", "redirects_to",
         "related_to", "disambiguates", "links_external", "includes_template",
     }
+
+
+def test_triples_single_scan_equivalence(result):
+    """triples_from_transformed (one scan) must equal triples_view (8-pass
+    per-edge derivation) as a multiset."""
+    from wikiprep_spark.operators import edges as edge_ops
+
+    eight_pass = edge_ops.triples_view(
+        result["links"],
+        result["anchors"],
+        result["categories"].select("page_id", "category_id"),
+        result["redirect_records"],
+        result["related"].select("page_id", "related_id"),
+        result["disambig"],
+        result["external"],
+        result["template_inclusions"],
+    )
+    a = sorted(map(tuple, result["triples"].collect()))
+    b = sorted(map(tuple, eight_pass.collect()))
+    assert a == b

@@ -183,15 +183,10 @@ def run_pipeline(
     out["template_redirects"] = template_redirects
     out["template_index"] = template_index
 
-    out["triples"] = edge_ops.triples_view(
-        out["links"],
-        out["anchors"],
-        out["categories"].select("page_id", "category_id"),
-        redirect_records,
-        out["related"].select("page_id", "related_id"),
-        out["disambig"],
-        out["external"],
-        out["template_inclusions"],
+    # single-scan triple derivation (edge tables above remain available as
+    # pruned per-kind projections; triples_view is the 8-pass equivalent)
+    out["triples"] = edge_ops.triples_from_transformed(
+        transformed, redirect_records
     )
 
     if work_dir:

@@ -24,19 +24,22 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
-    # Single-JVM local mode degrades sharply beyond ~8 concurrent task
-    # threads (guest-kernel scheduling/futex overhead in this sandbox;
-    # measured 3x wall regression at 32 threads).  Cap concurrent task
-    # slots at 8 per JVM via task.cpus — the same 4-8-cores-per-executor
-    # sizing any production cluster uses.
+    # Every pandas-UDF task keeps TWO threads hot (the python worker and
+    # the JVM side feeding it Arrow batches); this sandbox's guest kernel
+    # punishes runnable-threads > cpus severely (measured 2-3x CPU
+    # inflation).  Budget 2 cpus per task so hot threads ~= cores, and
+    # cap slots at ~8 per JVM beyond 16 cores (measured sweet spot) —
+    # the same 4-8-cores-per-executor sizing production clusters use.
     task_cpus = 1
     if master.startswith("local[") and "cluster" not in master:
         try:
             k = int(master[len("local["):-1].rstrip("*") or os.cpu_count())
         except ValueError:
             k = os.cpu_count() or 8
-        if k > 8:
-            task_cpus = max(1, k // 8)
+        if k > 16:
+            task_cpus = max(2, k // 8)
+        elif k >= 2:
+            task_cpus = 2
 
     builder = (
         SparkSession.builder.appName(app_name)
