@@ -117,3 +117,22 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image", strict=True)
+
+
+def test_shingle_dedup(spark, docs):
+    from pyspark.sql import functions as F
+
+    # 3-gram shingle sets: identical normalized docs still match exactly
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.token_jaccard_pairs(
+                 docs, threshold=0.5, shingle=3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in dedup.minhash_lsh_pairs(
+               docs, threshold=0.5, shingle=3).collect()}
+    assert (0, 1) in lsh
+    # shingle sets are far more selective than unigram sets
+    toks = dedup._token_sets(docs, "doc_id", "text", shingle=3).collect()
+    t = {r["doc"]: set(r["toks"]) for r in toks}
+    inter = len(t[0] & t[3]) / len(t[0] | t[3])
+    assert inter < 0.2

@@ -39,17 +39,31 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
-def _token_sets(docs: DataFrame, id_col, text_col) -> DataFrame:
+def _token_sets(docs: DataFrame, id_col, text_col,
+                shingle: int = 1) -> DataFrame:
+    """Distinct token sets, optionally as word n-gram shingles.
+
+    Shingles (n>1) are the standard minhash/Jaccard unit for text dedup:
+    they keep the element space large enough that unrelated documents
+    share few elements even over a small vocabulary."""
+    toks = F.split(normalized_text(text_col), " ")
+    if shingle > 1:
+        toks = F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(toks) - shingle, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, shingle)
+            ),
+        )
     return docs.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(F.split(normalized_text(text_col), " ")).alias(
-            "toks"
-        ),
+        F.array_distinct(toks).alias("toks"),
     )
 
 
 def token_jaccard_pairs(
-    docs: DataFrame, id_col="doc_id", text_col="text", threshold=0.5
+    docs: DataFrame, id_col="doc_id", text_col="text", threshold=0.5,
+    shingle: int = 1,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by token-set Jaccard >= threshold, via
     prefix filtering (the PPJoin family).
@@ -63,7 +77,7 @@ def token_jaccard_pairs(
     corpora where raw token joins explode on stopwords.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    toks = _token_sets(docs, id_col, text_col)
+    toks = _token_sets(docs, id_col, text_col, shingle)
     posting = toks.select("doc", F.explode("toks").alias("tok"))
     tok_df = posting.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
@@ -110,7 +124,8 @@ def token_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col="doc_id", text_col="text", num_hashes=32
+    docs: DataFrame, id_col="doc_id", text_col="text", num_hashes=32,
+    shingle: int = 1,
 ) -> DataFrame:
     """(doc, sig: array<long>) minhash signatures over token sets.
 
@@ -118,7 +133,7 @@ def minhash_signatures(
     odd multipliers — all computed by a single higher-order-function
     expression per row (aggregate over the token array), no shuffle at all.
     """
-    toks = _token_sets(docs, id_col, text_col)
+    toks = _token_sets(docs, id_col, text_col, shingle)
 
     def perm(a, b):
         # closure factory: pyspark inspects lambda arity, so defaults-as-
@@ -142,6 +157,7 @@ def minhash_lsh_pairs(
     num_hashes=32,
     bands=8,
     threshold=0.5,
+    shingle: int = 1,
 ) -> DataFrame:
     """MinHash+LSH candidate generation and verification:
     shingle -> minhash -> band -> bucket join -> exact-Jaccard verify.
@@ -152,7 +168,7 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
     banded = sigs.select(
         "doc",
         F.explode(
@@ -177,7 +193,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    toks = _token_sets(docs, id_col, text_col)
+    toks = _token_sets(docs, id_col, text_col, shingle)
     verified = (
         candidates.join(
             toks.select(F.col("doc").alias("doc_a"),
