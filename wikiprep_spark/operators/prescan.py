@@ -23,6 +23,7 @@ BerkeleyDB tables shared across workers (bin/wikiprep:482-512).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from wikiprep_spark.functions.templates import preprocess_template_body
@@ -141,7 +142,15 @@ def template_pages_df(agg: DataFrame) -> DataFrame:
     )
 
 
-_preprocess_body_udf = F.udf(lambda t: preprocess_template_body(t or ""))
+def _preprocess_body_udf():
+    # Arrow-batched (Templates.pm:41-86 preprocessing); template pages are a
+    # small slice of the corpus but this keeps the package free of
+    # row-at-a-time Python UDFs.  Built lazily: pandas_udf resolves its DDL
+    # return type against the active session.
+    def _run(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(preprocess_template_body)
+
+    return F.pandas_udf(_run, "string")
 
 
 def template_bodies_df(template_pages: DataFrame) -> DataFrame:
@@ -150,7 +159,7 @@ def template_bodies_df(template_pages: DataFrame) -> DataFrame:
     return template_pages.select(
         F.col("page_id").alias("template_id"),
         "title_norm",
-        _preprocess_body_udf(F.col("text")).alias("body"),
+        _preprocess_body_udf()(F.col("text")).alias("body"),
     )
 
 

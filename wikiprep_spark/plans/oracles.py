@@ -180,11 +180,13 @@ TPCH_ORACLES = {
     # TPC-H Q1 shape: scan + filter + aggregate
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+           AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(18,2))
-              - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+              - CAST(l_discount AS DECIMAL(18,2)))), 2)::DOUBLE
+           AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -193,7 +195,7 @@ GROUP BY l_returnflag, l_linestatus
     # broadcast-join shape: orders x customer x nation x region
     "q_join_revenue_by_nation": """
 SELECT n.n_name AS nation, count(*) AS n_orders,
-       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+       round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

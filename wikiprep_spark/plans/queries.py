@@ -164,10 +164,15 @@ def q1_pricing_summary(spark, sf_dir):
             "timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                            - dec("l_discount"))).alias(
+            # decimal accumulation for exactness, double output so the value
+            # hash matches the DuckDB oracle's float64 materialization
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias(
+                "sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias(
+                "sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice")
+                          * (F.lit(1).cast("decimal(18,2)")
+                             - dec("l_discount"))), 2).cast("double").alias(
                 "sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -186,8 +191,8 @@ def q_join_revenue_by_nation(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
         )
     )
 
