@@ -54,7 +54,8 @@ def _bench_near_dedup(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lsh = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
-                                  threshold=0.8, shingle=3)
+                                  threshold=0.8, shingle=3,
+                                  max_bucket=10000)
     jac = dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3)
     return {
         "dedup_minhash_lsh_sh3": lsh.select(

@@ -64,6 +64,31 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_lsh_hub_bucket_guard(spark):
+    # degenerate boilerplate corpus: 40 identical docs + 2 distinct
+    # near-dups.  With a cap below 40, the boilerplate band-buckets are
+    # dropped (bounding candidates at k^2 per allowed bucket) while the
+    # small near-dup pair survives.
+    rows = [(i, "standard site boilerplate footer text here") for i in range(40)]
+    rows += [(100, "a unique article about distributed spark engines"),
+             (101, "a unique article about distributed flink engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket=10
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in guarded}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)  # hub pairs dropped
+
+    stats = dedup.minhash_lsh_bucket_stats(docs, max_bucket=10).collect()
+    dropped = [r for r in stats if r["dropped"]]
+    assert dropped and all(r["n_docs"] == 40 for r in dropped)
+    # unguarded run still finds everything (exhaustive small-corpus mode)
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    assert full.where("doc_a < 40 and doc_b < 40").count() == 40 * 39 / 2
+
+
 def test_simhash_groups(spark, docs):
     rows = dedup.simhash(docs).collect()
     sh = {r["doc"]: r["simhash"] for r in rows}

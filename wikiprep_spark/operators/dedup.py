@@ -158,13 +158,20 @@ def minhash_lsh_pairs(
     bands=8,
     threshold=0.5,
     shingle: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation and verification:
     shingle -> minhash -> band -> bucket join -> exact-Jaccard verify.
 
     Banding keeps the join linear in the number of colliding candidates;
-    at 100 TB the band-bucket key is the only shuffle key and hub buckets
-    (boilerplate documents) are exactly the skew AQE's skew-join handles.
+    at 100 TB the band-bucket key is the only shuffle key.  ``max_bucket``
+    is the production hub-bucket guard: a (band, bucket) cell holding k
+    docs yields k^2/2 candidate rows, so one boilerplate bucket with 10^6
+    docs would emit 10^12 rows before AQE could split anything — buckets
+    larger than the cap are dropped from candidate generation (their
+    members still pair up in their other bands, which is why dropping a
+    hub band-cell costs little recall).  Pass None to disable (exhaustive
+    mode for small corpora / oracle-gated runs).
     Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
@@ -186,6 +193,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        # one window pass over the (band, bucket)-partitioned data; the
+        # subsequent self-join shuffles on the same key, so the guard adds
+        # no extra wide dependency beyond the count
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
@@ -211,6 +230,48 @@ def minhash_lsh_pairs(
         )
     )
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_bucket_stats(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes=32,
+    bands=8,
+    shingle: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Hub-bucket observability for the LSH guard: per-(band, bucket) doc
+    count plus a ``dropped`` flag under the given cap.  Aggregate this to
+    report how many buckets/docs the guard excluded — the metric the
+    production pipeline logs alongside the dedup output."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1,
+                                    rows_per_band).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    dropped = (
+        F.col("n_docs") > max_bucket if max_bucket is not None
+        else F.lit(False)
+    )
+    return stats.withColumn("dropped", dropped)
 
 
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text",

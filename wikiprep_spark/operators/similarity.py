@@ -74,20 +74,26 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )
 
 
-def _hyperplane(dim: int, seed: int):
-    """Deterministic pseudo-random unit-free hyperplane as a literal array:
-    a simple LCG keyed by (seed, index) — reproducible across engines."""
+def hyperplane_values(dim: int, seed: int) -> list:
+    """Deterministic pseudo-random hyperplane coefficients: a simple LCG
+    keyed by (seed, index) — reproducible across engines, so the DuckDB
+    oracle (plans/oracles.py) can inline the exact same constants."""
     vals = []
     state = seed * 6364136223846793005 + 1442695040888963407
     for _ in range(dim):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         vals.append((state / float(1 << 63)) * 2.0 - 1.0)
-    return F.array(*[F.lit(v) for v in vals])
+    return vals
+
+
+def _hyperplane(dim: int, seed: int):
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, seed)])
 
 
 def lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 8,
@@ -144,6 +150,7 @@ def lsh_cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )

@@ -300,6 +300,113 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(inter/(sz_a+sz_b-inter), 6) AS jaccard
 FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.5
 """
+    # MinHash+LSH verified pairs at threshold 0.8 with 16 bands x 2 rows:
+    # per-pair miss probability (1-0.8^2)^16 ~= 8e-8 and the pipeline is
+    # fully deterministic, so the verified output equals the exact all-pairs
+    # Jaccard >= 0.8 set — computable exactly in SQL.
+    sql["dedup_minhash_lsh"] = f"""
+WITH t AS (
+  SELECT doc_id AS doc, list_distinct({toks}) AS toks FROM documents
+), e AS (
+  SELECT doc, unnest(toks) AS tok, len(toks) AS sz FROM t
+), p AS (
+  SELECT l.doc AS doc_a, r.doc AS doc_b, count(*)::BIGINT AS inter,
+         any_value(l.sz) AS sz_a, any_value(r.sz) AS sz_b
+  FROM e l JOIN e r USING (tok) WHERE l.doc < r.doc
+  GROUP BY l.doc, r.doc
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(inter/(sz_a+sz_b-inter), 6) AS jaccard
+FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.8
+"""
+    # stopword-vote language id: same counts, same en<de<fr<es tie-break
+    langs = {
+        "en": en,
+        "de": "['der','die','das','und','ist','nicht','mit','ein']",
+        "fr": "['le','la','les','et','est','que','pas','une']",
+        "es": "['el','la','los','que','es','una','por','con']",
+    }
+    cnt = {
+        lg: f"len(list_filter({toks}, x -> list_contains({ws}, x)))"
+        for lg, ws in langs.items()
+    }
+    sql["text_lang_id"] = f"""
+WITH f AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         {cnt['en']} AS c_en, {cnt['de']} AS c_de,
+         {cnt['fr']} AS c_fr, {cnt['es']} AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+       WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+       WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS detected_lang,
+  greatest(c_en, c_de, c_fr, c_es)::BIGINT AS stopword_hits
+FROM f
+"""
+
+    # cosine top-k: identical left-to-right double folds on both engines
+    # make the unrounded cosine bit-identical, so ordering and round(,6)
+    # agree exactly.
+    def dot(a, b):
+        return (f"list_reduce(list_transform(generate_series(1, len({a})), "
+                f"i -> {a}[i]*{b}[i]), (x, y) -> x+y)")
+
+    cos = f"{dot('c.v', 'q.v')} / (sqrt({dot('c.v', 'c.v')}) * sqrt({dot('q.v', 'q.v')}))"
+    sql["sim_cosine_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 10
+), s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM e c, q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+    # LSH cosine top-k: the random-hyperplane constants are generated by
+    # the same LCG (operators/similarity.py hyperplane_values) and inlined
+    # here as literals, so buckets match bit-for-bit.
+    from wikiprep_spark.operators.similarity import hyperplane_values
+
+    def bucket(v):
+        terms = []
+        for p in range(6):
+            plane = "[" + ",".join(
+                repr(x) for x in hyperplane_values(64, seed=p + 1)) + "]"
+            terms.append(
+                f"(CASE WHEN {dot(v, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sql["sim_lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id, v, {bucket('v')} AS bucket FROM e
+), q AS (
+  SELECT vec_id, v, bucket FROM c WHERE vec_id < 10
+), s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       rank::BIGINT AS rank, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
     return sql
 
 

