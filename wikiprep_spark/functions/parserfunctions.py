@@ -80,6 +80,16 @@ def _pf_switch(ctx, level, primary, *params):
     found = False
     default = None
     for param in params:
+        if param == "":
+            # Perl split on an empty string yields an empty list, so
+            # ($lvalue, $rvalue) both become undef and the parameter never
+            # matches — even against an empty primary.  (This is why the
+            # reference routes {{#switch:|…||none =|#default = X}} with an
+            # empty primary to #default, not to the ||none fall-through;
+            # Citation/core's id="" attribute depends on it.)
+            lvalue = None
+            rvalue = None
+            continue
         parts = _SPLIT_EQ_RE.split(param, maxsplit=1)
         if len(parts) == 2:
             lvalue, rvalue = parts
