@@ -129,6 +129,64 @@ def test_lsh_topk_subset_of_exact(spark):
     assert exact.count() == 15
 
 
+def test_sample_pages(spark):
+    from wikiprep_spark.sources.corpus import build_src_pages
+    from wikiprep_spark.sources.pages import sample_pages
+
+    src = build_src_pages(spark, "/root/testdata/sf0.001", limit=60)
+    n = src.count()
+    sampled = sample_pages(src, fraction=0.3, seed=7)
+    n_s = sampled.count()
+    assert 0 < n_s < n
+    # seeded: deterministic across runs
+    assert sample_pages(src, fraction=0.3, seed=7).count() == n_s
+    # sampled rows are a subset of the corpus
+    assert sampled.exceptAll(src).count() == 0
+
+
+def test_category_hierarchy(spark):
+    from wikiprep_spark.operators.stats import category_hierarchy
+
+    edges_df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (100, 200)],
+        "page_id long, category_id long",
+    )
+    got = {r["parent_id"]: list(r["member_ids"])
+           for r in category_hierarchy(edges_df).collect()}
+    assert got == {100: [1, 2], 200: [3, 100]}
+
+
+def test_template_inclusions_partitioned_write(spark, tmp_path):
+    from wikiprep_spark.operators.edges import (
+        write_template_inclusions_partitioned,
+    )
+
+    rows = [(p, t, 0, "name", f"v{p}") for p in range(50)
+            for t in ([11] if p % 2 else [11, 12])]  # 11 is the hub
+    df = spark.createDataFrame(
+        rows,
+        "page_id long, template_id long, incl_idx int, param string, "
+        "value string",
+    )
+    path = str(tmp_path / "tincl")
+    write_template_inclusions_partitioned(df, path, salt_buckets=4,
+                                           num_partitions=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == len(rows)
+    # partition pruning: reading one template touches only its directory
+    one = back.where(F.col("template_id") == 12)
+    files = one.select(F.input_file_name()).distinct().collect()
+    assert files and all("template_id=12" in r[0] for r in files)
+    assert one.count() == 25
+    # hub salting: template 11's rows span multiple files
+    hub_files = (
+        back.where(F.col("template_id") == 11)
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert hub_files > 1
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     integ = multimodal.payload_integrity(media).collect()

@@ -116,6 +116,39 @@ def template_inclusion_edges(transformed: DataFrame) -> DataFrame:
     )
 
 
+def write_template_inclusions_partitioned(
+    inclusions: DataFrame, path: str, salt_buckets: int = 16,
+    num_partitions: int | None = None,
+) -> None:
+    """Materialize the inclusion log partitioned by template_id — the
+    reference's per-template-id files (Output/Legacy.pm:195-214) as a
+    partition-pruned parquet layout.
+
+    Hub templates (the {{cite web}} analogue) dominate the log, so rows are
+    redistributed on (template_id, salt) before the write: a hub template's
+    rows land on ``salt_buckets`` tasks instead of one straggler, and each
+    writes its own file under the template's partition directory."""
+    salted = inclusions.withColumn(
+        "_salt", F.pmod(F.xxhash64("page_id", "incl_idx"),
+                        F.lit(salt_buckets))
+    )
+    # explicit num_partitions pins the fan-out (AQE would otherwise
+    # coalesce a small shuffle back into few tasks); default lets AQE size
+    # partitions by bytes, which is what you want at production scale
+    keys = [F.col("template_id"), F.col("_salt")]
+    shuffled = (
+        salted.repartition(num_partitions, *keys) if num_partitions
+        else salted.repartition(*keys)
+    )
+    (
+        shuffled
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("template_id")
+        .parquet(path)
+    )
+
+
 def pages_table(transformed: DataFrame) -> DataFrame:
     """The per-page record (Composite.pm:149-205 equivalent)."""
     return transformed.where(_ok()).select(

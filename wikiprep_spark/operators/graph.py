@@ -95,6 +95,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -130,14 +131,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
+        # convergence probe: labels only ever decrease (least), so the label
+        # sum strictly decreases iff anything changed — one map-side
+        # aggregate over the just-checkpointed frame instead of a join
+        # against the previous iteration (halves the per-round job count).
+        # decimal(38,0) so the sum cannot overflow at any node-id scale.
+        new_sum = compressed.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
         labels = compressed
-        if changed.isEmpty():
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

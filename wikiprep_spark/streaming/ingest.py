@@ -34,23 +34,29 @@ def stream_src_pages(spark: SparkSession, path: str,
     )
 
 
-def streaming_transform(src_stream: DataFrame, env_broadcast) -> DataFrame:
+def streaming_transform(src_stream: DataFrame, env_source) -> DataFrame:
     """The identical parse+transform chain, applied to a streaming
     DataFrame — mapInPandas is streaming-compatible as a stateless
-    projection."""
-    return transform_pages(parse_pages(src_stream), env_broadcast)
+    projection.  ``env_source`` is the dicts path / broadcast exactly as in
+    batch transform_pages."""
+    return transform_pages(parse_pages(src_stream), env_source)
 
 
 def start_edge_sink(transformed: DataFrame, out_dir: str,
-                    checkpoint_dir: str):
-    """Append-mode parquet sink with checkpointing (exactly-once per file)."""
-    return (
+                    checkpoint_dir: str, available_now: bool = False):
+    """Append-mode parquet sink with checkpointing (exactly-once per file).
+    ``available_now=True`` processes the current backlog then stops — the
+    riffle-style catch-up mode (tools/riffle/riffle.cpp semantics: merge
+    new pages into the existing output without recomputing it)."""
+    writer = (
         transformed.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_event_counts(events_stream: DataFrame,
@@ -59,7 +65,10 @@ def windowed_event_counts(events_stream: DataFrame,
     """Watermarked tumbling-window aggregation over an event stream —
     late rows beyond the watermark are dropped, state is bounded."""
     return (
-        events_stream.withWatermark("ts", watermark)
+        # watermarks require TIMESTAMP (with timezone); parquet event data
+        # often arrives as TIMESTAMP_NTZ
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.sum("value").alias("total_value"))
