@@ -187,6 +187,119 @@ def test_template_inclusions_partitioned_write(spark, tmp_path):
     assert hub_files > 1
 
 
+def test_pruned_dict_transform_equality(spark, tmp_path):
+    """The bounded-memory dict path (write_dicts_pruned +
+    RowGroupPrunedDict) must produce the byte-identical transformed table
+    as the in-memory dict path (SURVEY.md §4 big-dict fallback)."""
+    from wikiprep_spark.plans.pipeline import run_pipeline
+    from wikiprep_spark.sources.corpus import build_src_pages
+
+    src = build_src_pages(spark, "/root/testdata/sf0.001", limit=60).persist()
+    inmem = run_pipeline(spark, src, dict_mode="inmem")
+    pruned = run_pipeline(spark, src, dict_mode="pruned")
+
+    cols = sorted(inmem["transformed"].columns)
+    a = sorted(map(repr, inmem["transformed"].select(cols).collect()))
+    b = sorted(map(repr, pruned["transformed"].select(cols).collect()))
+    assert a == b and len(a) > 0
+    src.unpersist()
+
+
+def test_pruned_dict_lookup_unit(spark, tmp_path):
+    from wikiprep_spark.functions.dictload import (
+        RowGroupPrunedDict, key_hash,
+    )
+    from wikiprep_spark.operators.prescan import _key_hash_col
+
+    rows = [("Title %04d" % i, i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "title_norm string, page_id long")
+    # JVM hash == python hash (the pruning contract)
+    sample = df.select(
+        "title_norm", _key_hash_col(F.col("title_norm")).alias("kh")
+    ).limit(50).collect()
+    assert all(key_hash(r["title_norm"]) == r["kh"] for r in sample)
+
+    from wikiprep_spark.operators.prescan import write_dicts_pruned
+
+    tb = spark.createDataFrame([(11, "body")],
+                               "template_id long, body string")
+    write_dicts_pruned(df, df.selectExpr(
+        "title_norm as from_title", "title_norm as to_title").limit(0),
+        tb, str(tmp_path / "d"))
+    d = RowGroupPrunedDict(str(tmp_path / "d" / "title2id"))
+    assert d.get("Title 0000") == 0
+    assert d.get("Title 4999") == 4999
+    assert d.get("Missing") is None
+    assert "Title 0123" in d and d["Title 0123"] == 123
+
+
+def test_fused_pipeline_equality(spark, tmp_path):
+    """The fused two-pass pipeline (no parsed-parquet materialization,
+    JVM-side dup-id scan, prescan-projection parse) must emit the same
+    edges and lineage checksums as the staged pipeline."""
+    from wikiprep_spark.plans.pipeline import run_pipeline
+    from wikiprep_spark.sources.corpus import build_src_pages
+
+    src_dir = str(tmp_path / "src")
+    build_src_pages(spark, "/root/testdata/sf0.001", limit=60) \
+        .repartition(3).write.parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+
+    staged = run_pipeline(spark, src, work_dir=str(tmp_path / "w1"),
+                          resume=False)
+    fused = run_pipeline(spark, src, work_dir=str(tmp_path / "w2"),
+                         resume=False, fuse_parse=True)
+
+    for table in ("links", "anchors", "categories", "redirect_records"):
+        a = sorted(map(repr, staged[table].collect()))
+        b = sorted(map(repr, fused[table].collect()))
+        assert a == b and a, table
+    assert fused["_counts"]["transformed"] == staged["transformed"].count()
+    assert fused["_counts"]["triples"] == staged["triples"].count()
+    # lineage totals (rows + content checksum) agree across modes even
+    # though partition boundaries may differ (byte_count intentionally
+    # differs: staged counts inner page text, fused counts raw XML)
+    def totals(wd):
+        df = spark.read.parquet(str(tmp_path / wd / "lineage"))
+        r = df.agg(F.sum("rows"), F.sum("content_checksum")).first()
+        return tuple(r)
+    assert totals("w1") == totals("w2")
+
+
+def test_dup_losers_from_src_equivalence(spark):
+    """JVM-side dup-id extraction must match the parse-derived one,
+    including on corpora with duplicate page ids."""
+    from wikiprep_spark.operators import prescan as P
+    from wikiprep_spark.sources.corpus import build_src_pages, _row
+    from wikiprep_spark.sources.pages import parse_pages
+
+    src = build_src_pages(spark, "/root/testdata/sf0.001", limit=30)
+    # inject duplicate-id pages (same id 1005, different paths)
+    dup_rows = [
+        ("wiki/dup", "a.xml", "c1", "wikitext",
+         _row(1005, "Dup A", "text a")[4]),
+        ("wiki/dup", "b.xml", "c2", "wikitext",
+         _row(1005, "Dup B", "text b")[4]),
+    ]
+    dup = spark.createDataFrame(
+        dup_rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src = src.unionByName(dup)
+
+    parsed = parse_pages(src)
+    via_parse = {tuple(r) for r in P.live_pages(parsed)
+                 .select("page_id", "seq").collect()}
+    via_src = {tuple(r) for r in P.live_pages(
+        parsed, P.dup_losers_from_src(src)).select("page_id", "seq")
+        .collect()}
+    assert via_parse == via_src
+    # and the duplicate id appears exactly once
+    n = sum(1 for pid, _ in via_parse if pid == 1005)
+    assert n == 1
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     integ = multimodal.payload_integrity(media).collect()

@@ -13,7 +13,7 @@ dependency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def transitive_closure_roots(
@@ -131,18 +131,31 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        # convergence probe: labels only ever decrease (least), so the label
-        # sum strictly decreases iff anything changed — one map-side
-        # aggregate over the just-checkpointed frame instead of a join
-        # against the previous iteration (halves the per-round job count).
-        # decimal(38,0) so the sum cannot overflow at any node-id scale.
-        new_sum = compressed.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).first()[0]
+        # convergence probe.  For numeric node ids: labels only ever
+        # decrease (least), so the label sum strictly decreases iff
+        # anything changed — one map-side aggregate over the just-
+        # checkpointed frame instead of a join against the previous
+        # iteration (halves the per-round job count); decimal(38,0) so the
+        # sum cannot overflow at any node-id scale.  Non-numeric labels
+        # (title strings) fall back to the join-based changed check.
+        labels_prev = labels
         labels = compressed
-        if prev_sum is not None and new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        if isinstance(compressed.schema["component"].dataType,
+                      (T.LongType, T.IntegerType)):
+            new_sum = compressed.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
+            if prev_sum is not None and new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                compressed.alias("n")
+                .join(labels_prev.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+            )
+            if changed.isEmpty():
+                break
     return labels
 
 

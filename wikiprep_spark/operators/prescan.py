@@ -23,31 +23,56 @@ BerkeleyDB tables shared across workers (bin/wikiprep:482-512).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from wikiprep_spark.functions.templates import preprocess_template_body
 
 
-def live_pages(parsed: DataFrame) -> DataFrame:
-    """First page wins per id over ALL pages, in dump (seq) order
-    (bin/wikiprep:466-470).
-
-    Duplicate ids are rare, so the losers (every (page_id, seq) beyond the
-    first occurrence) form a small set that broadcast-anti-joins against
-    the full rows — no shuffle of the page texts."""
-    ids = parsed.where(F.col("page_id").isNotNull()).select("page_id", "seq")
+def _dup_losers(ids: DataFrame) -> DataFrame:
     dup_ids = (
         ids.groupBy("page_id")
         .agg(F.min("seq").alias("win_seq"), F.count("*").alias("n"))
         .where(F.col("n") > 1)
         .select("page_id", "win_seq")
     )
-    losers = (
+    return (
         ids.join(F.broadcast(dup_ids), "page_id")
         .where(F.col("seq") != F.col("win_seq"))
         .select("page_id", "seq")
     )
+
+
+def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
+    """Duplicate-id losers computed ENTIRELY JVM-side from the raw source
+    table: the page id is the first <id> element of the record (exactly
+    parse_page_record's rule) and seq is the same repo/path/commit key the
+    parser emits.  In the fused two-pass pipeline this keeps the dup-id
+    subquery from dragging a full python parse pass into every job that
+    consumes live_pages."""
+    ids = src_pages.select(
+        F.regexp_extract("content", r"<id>(\d+)</id>", 1)
+        .cast("long").alias("page_id"),
+        F.concat_ws("\x00", "repo", "path", "commit").alias("seq"),
+    ).where(F.col("page_id").isNotNull())
+    return _dup_losers(ids)
+
+
+def live_pages(parsed: DataFrame, losers: DataFrame | None = None) -> DataFrame:
+    """First page wins per id over ALL pages, in dump (seq) order
+    (bin/wikiprep:466-470).
+
+    Duplicate ids are rare, so the losers (every (page_id, seq) beyond the
+    first occurrence) form a small set that broadcast-anti-joins against
+    the full rows — no shuffle of the page texts.  Pass a precomputed
+    ``losers`` frame (dup_losers_from_src) to keep this subquery off the
+    python parse path."""
+    if losers is None:
+        ids = parsed.where(F.col("page_id").isNotNull()).select(
+            "page_id", "seq")
+        losers = _dup_losers(ids)
     return parsed.join(F.broadcast(losers), ["page_id", "seq"], "left_anti")
 
 
@@ -192,13 +217,62 @@ def tagged_dicts_df(title2id: DataFrame, redirects: DataFrame,
 
 
 def write_dicts(title2id: DataFrame, redirects: DataFrame,
-                template_bodies: DataFrame, path: str) -> str:
+                template_bodies: DataFrame, path: str) -> int | None:
     """Write the tagged dictionary table as parquet (one distributed job,
-    no driver roundtrip) and return the path for worker-side loading via
-    functions/dictload.py."""
-    tagged_dicts_df(title2id, redirects, template_bodies).write.mode(
-        "overwrite"
-    ).parquet(path)
+    no driver roundtrip) for worker-side loading via functions/dictload.py.
+    Returns the row count, observed on the write job itself."""
+    from pyspark.sql import Observation
+
+    tagged = tagged_dicts_df(title2id, redirects, template_bodies)
+    obs = Observation()
+    tagged = tagged.observe(obs, F.count(F.lit(1)).alias("rows"))
+    tagged.write.mode("overwrite").parquet(path)
+    try:
+        return obs.get["rows"]
+    except Exception:
+        return None
+
+
+def _key_hash_col(k):
+    """JVM-side twin of functions/dictload.key_hash: first 15 hex chars of
+    md5 as a 60-bit int — exact int64 parquet statistics for row-group
+    pruning (string stats may be truncated)."""
+    return F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("long")
+
+
+def write_dicts_pruned(title2id: DataFrame, redirects: DataFrame,
+                       template_bodies: DataFrame, path: str,
+                       range_partitions: int = 8) -> str:
+    """The big-dict layout (SURVEY.md §4 scale path): title2id and redir
+    written hash-sorted with small row groups, so transform workers
+    binary-search them via footer statistics (functions/dictload.
+    RowGroupPrunedDict) instead of materializing the whole dictionary in
+    every python worker.  Template bodies stay a small plain table."""
+    def sorted_write(df, k, v, sub):
+        (
+            df.select(
+                _key_hash_col(F.col(k)).alias("kh"),
+                F.col(k).alias("k"),
+                F.col(v).alias("v"),
+            )
+            .repartitionByRange(range_partitions, "kh")
+            .sortWithinPartitions("kh", "k")
+            .write.mode("overwrite")
+            # ~1 MB row groups => a few thousand rows decoded per probe
+            .option("parquet.block.size", str(1 << 20))
+            .parquet(os.path.join(path, sub))
+        )
+
+    sorted_write(title2id, "title_norm", "page_id", "title2id")
+    sorted_write(redirects, "from_title", "to_title", "redir")
+    (
+        template_bodies.select(
+            F.col("template_id").cast("string").alias("k"),
+            F.col("body").alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "templates"))
+    )
     return path
 
 

@@ -97,11 +97,16 @@ def transform_pages(parsed: DataFrame, env_source) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if isinstance(env_source, str):
-            from wikiprep_spark.functions.dictload import (
-                load_env_from_parquet,
-            )
+            import os as _os
 
-            t2i, red, bodies = load_env_from_parquet(env_source)
+            from wikiprep_spark.functions import dictload
+
+            if _os.path.isdir(_os.path.join(env_source, "title2id")):
+                # pruned layout (write_dicts_pruned): bounded-memory
+                # row-group lookups instead of full materialization
+                t2i, red, bodies = dictload.load_env_pruned(env_source)
+            else:
+                t2i, red, bodies = dictload.load_env_from_parquet(env_source)
         else:
             t2i, red, bodies = env_source.value
         env = TransformEnv(title2id=t2i, redir=red, templates=bodies)

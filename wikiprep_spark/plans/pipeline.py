@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from wikiprep_spark.operators import edges as edge_ops
 from wikiprep_spark.operators import prescan as prescan_ops
 from wikiprep_spark.operators.transform import transform_pages
-from wikiprep_spark.sources.pages import parse_pages
+from wikiprep_spark.sources.pages import parse_pages, parse_pages_prescan
 
 EDGE_BUILDERS = {
     "anchors": edge_ops.anchors_edges,
@@ -63,22 +63,54 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _write(df: DataFrame, path: str, partition_by=None):
+def _write(df: DataFrame, path: str, partition_by=None) -> int | None:
+    """Write parquet; the row count rides along on the write job via the
+    Observation API (a separate .count() would re-scan the written data —
+    measured as a material serial tail in scaling runs)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+    try:
+        return obs.get["rows"]
+    except Exception:
+        return None
+
+
+def lineage_src_df(src_pages: DataFrame) -> DataFrame:
+    """Input-side lineage for the fused (two-pass) mode: the same
+    per-partition (rows, crc-of-sha256, bytes) triple computed entirely
+    JVM-side from the source table — sha2(content) equals the parse
+    stage's content_sha256, so checksums are comparable across modes."""
+    return (
+        src_pages.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.crc32(F.sha2("content", 256)).alias("crc"),
+            F.length("content").alias("text_chars"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("crc").alias("content_checksum"),
+            F.sum("text_chars").alias("byte_count"),
+        )
+    )
 
 
 def lineage_df(parsed: DataFrame) -> DataFrame:
     """Per-input-partition lineage: row count plus an order-insensitive
     checksum over the content sha256 values (verifies the per-row content
-    invariant survives every re-run / resume)."""
+    invariant survives every re-run / resume).  Reads only the sha/length
+    columns so the lineage pass never re-decodes page text."""
     return (
         parsed.select(
             F.spark_partition_id().alias("partition_id"),
             F.crc32(F.col("content_sha256")).alias("crc"),
-            F.length("text").alias("text_chars"),
+            F.col("text_chars"),
         )
         .groupBy("partition_id")
         .agg(
@@ -95,8 +127,18 @@ def run_pipeline(
     work_dir: str | None = None,
     resume: bool = True,
     persist: bool = True,
+    dict_mode: str = "inmem",
+    fuse_parse: bool = False,
 ) -> dict:
     """Run the full src_pages -> triples pipeline.
+
+    ``fuse_parse=True`` (work_dir mode) adopts the reference's own two-pass
+    architecture (bin/wikiprep prescan pass + transform pass over the same
+    dump): the XML parse is NOT materialized to parquet — pass 1 parses in
+    flight and aggregates the dictionaries, pass 2 re-parses fused with the
+    transform kernel in one python chain.  Re-parsing costs ~10%% of the
+    transform kernel and removes an entire columnar encode+decode round
+    trip of the full text, which is the right trade at scale.
 
     Returns a dict of DataFrames: parsed, transformed, every edge table,
     redirect_records, template_index, triples, plus the collected metrics
@@ -104,30 +146,50 @@ def run_pipeline(
     """
     metrics = Metrics()
     out: dict = {}
+    counts: dict = {}
 
     # --- stage 0: parse
     t0 = time.time()
-    if work_dir:
+    if work_dir and not fuse_parse:
         parsed_path = os.path.join(work_dir, "parsed_pages")
         if not (resume and _stage_done(parsed_path)):
-            _write(parse_pages(src_pages), parsed_path)
+            counts["parsed"] = _write(parse_pages(src_pages), parsed_path)
         parsed = spark.read.parquet(parsed_path)
     else:
         parsed = parse_pages(src_pages)
-        if persist:
+        if persist and not fuse_parse:
             parsed = parsed.persist()
     metrics.record("parse", time.time() - t0)
 
     # --- stage 1: prescan — one title-keyed aggregation for all three
     # dictionaries; id-dedup is a broadcast anti join (no full-data shuffle)
     t0 = time.time()
-    live = prescan_ops.live_pages(parsed)
-    agg = prescan_ops.title_aggregate(live)
+    if fuse_parse:
+        # JVM-only dup-id scan of the source, cached: without this, the
+        # anti-join's subquery re-runs the python parse inside EVERY job
+        # that consumes live_pages (measured as a full extra parse pass
+        # in both the prescan and transform jobs)
+        losers = prescan_ops.dup_losers_from_src(src_pages).persist()
+        live = prescan_ops.live_pages(parsed, losers)
+        # the dictionary aggregation reads text only for template pages —
+        # parse with the prescan projection so the pass doesn't Arrow-ship
+        # every page's full text back to the JVM
+        live_pre = prescan_ops.live_pages(
+            parse_pages_prescan(src_pages), losers
+        )
+    else:
+        live = prescan_ops.live_pages(parsed)
+        live_pre = live
+    agg = prescan_ops.title_aggregate(live_pre)
     if persist:
         # the dictionary branches and the collect job share this aggregate;
         # Spark does no cross-branch CSE, so cache it once (skinny rows —
-        # only template candidates carry text)
+        # only template candidates carry text).  Materialize it NOW: if the
+        # union branches of write_dicts race a cold cache inside one job,
+        # each branch recomputes the full parse upstream (measured 4x
+        # prescan blowup on a 4-executor cluster before this count)
         agg = agg.persist()
+        agg.count()
     title2id = prescan_ops.title2id_df(agg)
     redirects = prescan_ops.redirects_df(agg)
     template_pages = prescan_ops.template_pages_df(agg)
@@ -140,21 +202,24 @@ def run_pipeline(
     # --- stage 2: persist the dictionaries as a shared tagged parquet
     # table (prescanSave equivalent; distributed write, no driver
     # roundtrip) — transform workers side-load it once per process
+    # dict_mode "inmem": every worker materializes the full dictionaries
+    # (fastest; right up to ~10^7 titles).  "pruned": workers binary-search
+    # hash-sorted parquet row groups with bounded memory (the SURVEY.md §4
+    # big-dict scale path for when title2id outgrows worker memory).
+    writer = (prescan_ops.write_dicts_pruned if dict_mode == "pruned"
+              else prescan_ops.write_dicts)
+    n_dict_rows = None
     if work_dir:
-        dicts_path = os.path.join(work_dir, "dicts")
-        if not (resume and _stage_done(dicts_path)):
-            prescan_ops.write_dicts(
-                title2id, redirects, template_bodies, dicts_path
-            )
+        dicts_path = os.path.join(work_dir, "dicts_" + dict_mode)
+        if not (resume and _stage_done(
+                os.path.join(dicts_path, "title2id")
+                if dict_mode == "pruned" else dicts_path)):
+            n_dict_rows = writer(title2id, redirects, template_bodies,
+                                 dicts_path)
     else:
         dicts_path = tempfile.mkdtemp(prefix="wikiprep_dicts_")
-        prescan_ops.write_dicts(
-            title2id, redirects, template_bodies, dicts_path
-        )
-
-    import pyarrow.dataset as _ds
-
-    n_dict_rows = _ds.dataset(dicts_path, format="parquet").count_rows()
+        n_dict_rows = writer(title2id, redirects, template_bodies,
+                             dicts_path)
     metrics.record("prescan", time.time() - t0, dict_rows=n_dict_rows)
 
     # --- stage 3: transform
@@ -162,7 +227,9 @@ def run_pipeline(
     if work_dir:
         transformed_path = os.path.join(work_dir, "transformed_pages")
         if not (resume and _stage_done(transformed_path)):
-            _write(transform_pages(live, dicts_path), transformed_path)
+            counts["transformed"] = _write(
+                transform_pages(live, dicts_path), transformed_path
+            )
         transformed = spark.read.parquet(transformed_path)
     else:
         transformed = transform_pages(live, dicts_path)
@@ -194,13 +261,16 @@ def run_pipeline(
         triples_path = os.path.join(work_dir, "triples")
         if not (resume and _stage_done(triples_path)):
             # partitioned by predicate: partition pruning for per-edge reads
-            _write(out["triples"], triples_path, partition_by="pred")
+            counts["triples"] = _write(out["triples"], triples_path,
+                                       partition_by="pred")
         out["triples"] = spark.read.parquet(triples_path)
         metrics.record("triples", time.time() - t0)
 
         lineage_path = os.path.join(work_dir, "lineage")
         if not (resume and _stage_done(lineage_path)):
-            _write(lineage_df(parsed), lineage_path)
+            lin = (lineage_src_df(src_pages) if fuse_parse
+                   else lineage_df(parsed))
+            _write(lin, lineage_path)
         metrics.save(os.path.join(work_dir, "metrics.jsonl"))
 
     out["parsed"] = parsed
@@ -210,4 +280,7 @@ def run_pipeline(
     out["template_bodies"] = template_bodies
     out["_metrics"] = metrics
     out["_dicts_path"] = dicts_path
+    # observed row counts from the write jobs (None for resumed stages);
+    # callers should prefer these over re-scanning with .count()
+    out["_counts"] = counts
     return out

@@ -31,7 +31,7 @@ def build_session(
     # cap slots at ~8 per JVM beyond 16 cores (measured sweet spot) —
     # the same 4-8-cores-per-executor sizing production clusters use.
     task_cpus = 1
-    if master.startswith("local[") and "cluster" not in master:
+    if master.startswith("local["):
         try:
             k = int(master[len("local["):-1].rstrip("*") or os.cpu_count())
         except ValueError:
@@ -39,6 +39,19 @@ def build_session(
         if k > 16:
             task_cpus = max(2, k // 8)
         elif k >= 2:
+            task_cpus = 2
+    elif master.startswith("local-cluster["):
+        # [n_executors, cores_per_executor, mem_mb]: budget 2 cpus per
+        # task within each executor JVM so each executor keeps
+        # cores/2 python workers + their JVM Arrow feeders ~= cores
+        # hot threads — the same sizing a production executor uses
+        try:
+            cores_per_exec = int(
+                master[len("local-cluster["):-1].split(",")[1]
+            )
+        except (ValueError, IndexError):
+            cores_per_exec = 2
+        if cores_per_exec >= 2:
             task_cpus = 2
 
     builder = (
@@ -53,6 +66,17 @@ def build_session(
         # big page texts: keep Arrow batches modest so executor memory is
         # bounded by batch_size * max_page_size, not partition size
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # python-heavy scans (markup transform) want small, even input
+        # splits: 32 MB of page text ~ a few seconds of kernel work per
+        # task, so wave quantization can't starve a level and the task
+        # graph is identical at every cluster size (default 128 MB packs
+        # a whole stage into a handful of tasks)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # page text compresses ~10x in parquet, so a byte-packed partition
+        # hides an order of magnitude more python-kernel work than its file
+        # size suggests; a high open-cost stops the scan from packing many
+        # small text files into one giant python task
+        .config("spark.sql.files.openCostInBytes", "16777216")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")

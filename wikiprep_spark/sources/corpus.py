@@ -136,9 +136,12 @@ def build_src_pages(
     n_docs = docs.count()
     # documents.parquet is a single small file -> one scan partition; spread
     # the python-heavy downstream (XML synthesis, parse, transform) across
-    # the cluster. ~2 waves per core, bounded below to keep tasks meaningful.
-    parallelism = spark.sparkContext.defaultParallelism * 2
-    n_parts = max(2, min(parallelism, (n_docs * max(1, replicate)) // 64 or 1))
+    # the cluster.  Partition count is sized by DATA (~4k pages / a few
+    # seconds of python work per task), not by cluster size, so the task
+    # graph is identical at every parallelism level and scaling runs
+    # compare like with like.
+    total_pages = n_docs * max(1, replicate)
+    n_parts = max(2, min(512, total_pages // 4096 or 1))
     docs = docs.repartition(n_parts)
     n = n_docs * replicate
 

@@ -31,7 +31,7 @@ PARSED_SCHEMA = (
     "seq string, page_id long, title string, title_norm string, ns string, "
     "timestamp string, text string, content_sha256 string, "
     "redirect_target string, ns_ok_prescan boolean, is_template boolean, "
-    "parse_error string"
+    "parse_error string, text_chars long"
 )
 
 
@@ -48,7 +48,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         except ValueError as exc:
             rows.append(
                 (seq, None, None, None, None, None, None, None, None,
-                 False, False, str(exc))
+                 False, False, str(exc), 0)
             )
             continue
         title_norm = normalize_title(rec["title"], None, site)
@@ -70,6 +70,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 is_namespace_ok(ns, site.ok_prescan, site),
                 title_norm.startswith(tmpl_prefix),
                 None,
+                len(rec["text"] or ""),
             )
         )
     return pd.DataFrame(
@@ -77,7 +78,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         columns=[
             "seq", "page_id", "title", "title_norm", "ns", "timestamp",
             "text", "content_sha256", "redirect_target", "ns_ok_prescan",
-            "is_template", "parse_error",
+            "is_template", "parse_error", "text_chars",
         ],
     )
 
@@ -97,5 +98,21 @@ def parse_pages(src_pages: DataFrame) -> DataFrame:
         for batch in batches:
             if len(batch):
                 yield _parse_batch(batch)
+
+    return src_pages.mapInPandas(gen, schema=PARSED_SCHEMA)
+
+
+def parse_pages_prescan(src_pages: DataFrame) -> DataFrame:
+    """Prescan-projection parse: identical rows, but page text is kept ONLY
+    for Template-namespace pages (the only text the dictionary aggregation
+    reads).  Arrow-returning the full text column for every page is pure
+    transfer cost in the prescan pass of the fused two-pass pipeline."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                out = _parse_batch(batch)
+                out.loc[~out["is_template"], "text"] = None
+                yield out
 
     return src_pages.mapInPandas(gen, schema=PARSED_SCHEMA)
