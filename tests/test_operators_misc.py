@@ -112,6 +112,36 @@ def test_cosine_topk_exact(spark):
     assert [n for n, _ in got] == [1, 2, 3]
 
 
+def test_cosine_near_dup_lsh_matches_exact(spark):
+    """Banded hyperplane LSH + exact verify recovers ALL pairs above the
+    threshold on a clustered corpus (the recall-1 regime the band math
+    guarantees), and the hub-bucket guard bounds degenerate clusters."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    # 10 cluster centers, 5 tight members each (cosine >> 0.95 within)
+    for c in range(10):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for m in range(5):
+            vec = [x + rng.uniform(-0.01, 0.01) for x in center]
+            rows.append((c * 10 + m, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in similarity.cosine_pairs_exact(emb, 0.95).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in similarity.cosine_near_dup_pairs(
+               emb, dim=dim, threshold=0.95).collect()}
+    assert lsh == exact and exact  # precision AND recall 1
+
+    guarded = similarity.cosine_near_dup_pairs(
+        emb, dim=dim, threshold=0.95, max_bucket=3
+    )
+    assert {(r["vec_a"], r["vec_b"]) for r in guarded.collect()} <= exact
+
+
 def test_lsh_topk_subset_of_exact(spark):
     import random
 

@@ -154,3 +154,93 @@ def lsh_cosine_topk(
                 F.col("rank").cast("long").alias("rank"),
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col="vec_id",
+    vec_col="embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
+    candidate generation + exact cosine verification.
+
+    Same architecture as MinHash+LSH text dedup: each band hashes the sign
+    bits of ``planes_per_band`` hyperplanes into a bucket; pairs colliding
+    in ANY band are verified exactly.  For theta(0.95) ~ 18deg, a pair
+    above threshold collides per band with (1 - theta/pi)^r ~ 0.66, so
+    8 bands miss with probability ~2e-4 — and the hyperplanes are a fixed
+    deterministic set, making the output reproducible and (at test scale)
+    equal to the exact all-pairs answer, which is the DuckDB oracle.
+    ``max_bucket`` is the same hub-bucket guard as minhash_lsh_pairs.
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    band_cols = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for p in range(planes_per_band):
+            seed = 1000 + b * planes_per_band + p
+            side = _dot(v, _hyperplane(dim, seed=seed)) > 0
+            bucket = bucket + F.when(side, F.lit(1 << p)).otherwise(F.lit(0))
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    banded = emb.select(
+        F.col(id_col).alias("vec"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    candidates = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec") < F.col("r.vec"))
+        .select(F.col("l.vec").alias("vec_a"), F.col("r.vec").alias("vec_b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("vec"), v.alias("v"))
+    verified = (
+        candidates.join(vecs.select(F.col("vec").alias("vec_a"),
+                                    F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col("vec").alias("vec_b"),
+                          F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+    )
+    return verified.where(F.col("cosine") >= threshold)
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (the correctness baseline for
+    cosine_near_dup_pairs; quadratic — use the banded-LSH variant at
+    corpus scale).  Returns (vec_a, vec_b, cosine), vec_a < vec_b."""
+    vecs = emb.select(F.col(id_col).alias("vec"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -388,6 +388,19 @@ FROM (
             )
         return " + ".join(terms)
 
+    # exact embedding near-dup pairs (same fold order as Spark -> bit-exact)
+    sql["sim_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot('a.v', 'b.v')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')})) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b,
+       round(cosine, 6) AS cosine
+FROM s WHERE cosine >= 0.35
+"""
     sql["sim_lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -287,6 +287,18 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def sim_near_dup(spark, sf_dir):
+    # exact all-pairs baseline (the banded-LSH variant
+    # similarity.cosine_near_dup_pairs is the corpus-scale path; its
+    # recall-1 regime is unit-tested on clustered vectors)
+    pairs = similarity.cosine_pairs_exact(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -326,4 +338,5 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_near_dup": sim_near_dup,
 }
