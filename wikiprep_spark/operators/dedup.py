@@ -205,6 +205,11 @@ def minhash_lsh_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    else:
+        # materialize one exchange on the join key so BOTH self-join sides
+        # reuse it (ReusedExchange): without this, Spark recomputes the
+        # full signature chain per side — measured 12x slower at sf0.1
+        banded = banded.repartition("band", "bucket")
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])

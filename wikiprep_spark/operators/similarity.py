@@ -200,6 +200,10 @@ def cosine_near_dup_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    else:
+        # one exchange on the join key, reused by both self-join sides
+        # (otherwise the hyperplane dot products run twice)
+        banded = banded.repartition("band", "bucket")
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
