@@ -56,7 +56,8 @@ def _bench_near_dedup(spark, sf_dir):
     lsh = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
                                   threshold=0.8, shingle=3,
                                   max_bucket=10000)
-    jac = dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3)
+    jac = dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3,
+                                    hash_tokens=True)
     return {
         "dedup_minhash_lsh_sh3": lsh.select(
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
