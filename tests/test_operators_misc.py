@@ -296,6 +296,43 @@ def test_fused_pipeline_equality(spark, tmp_path):
     assert totals("w1") == totals("w2")
 
 
+def test_pipeline_resume_skips_finished_stages(spark, tmp_path):
+    """Killed-run semantics: a re-run with resume=True must NOT recompute
+    stages whose _SUCCESS marker exists, and must recompute exactly the
+    stage whose marker was removed."""
+    import os
+
+    from wikiprep_spark.plans.pipeline import run_pipeline
+    from wikiprep_spark.sources.corpus import build_src_pages
+
+    src_dir = str(tmp_path / "src")
+    build_src_pages(spark, "/root/testdata/sf0.001", limit=40) \
+        .repartition(2).write.parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    wd = str(tmp_path / "work")
+
+    first = run_pipeline(spark, src, work_dir=wd, resume=True)
+    n_triples = first["triples"].count()
+    parsed_dir = os.path.join(wd, "parsed_pages")
+    mtime_before = {f: os.path.getmtime(os.path.join(parsed_dir, f))
+                    for f in os.listdir(parsed_dir)}
+
+    # full resume: nothing recomputed, same results
+    second = run_pipeline(spark, src, work_dir=wd, resume=True)
+    mtime_after = {f: os.path.getmtime(os.path.join(parsed_dir, f))
+                   for f in os.listdir(parsed_dir)}
+    assert mtime_after == mtime_before  # parse stage untouched
+    assert second["triples"].count() == n_triples
+
+    # kill marker of the LAST stage only -> that stage recomputes, parse
+    # still untouched
+    os.remove(os.path.join(wd, "triples", "_SUCCESS"))
+    third = run_pipeline(spark, src, work_dir=wd, resume=True)
+    assert third["triples"].count() == n_triples
+    assert {f: os.path.getmtime(os.path.join(parsed_dir, f))
+            for f in os.listdir(parsed_dir)} == mtime_before
+
+
 def test_dup_losers_from_src_equivalence(spark):
     """JVM-side dup-id extraction must match the parse-derived one,
     including on corpora with duplicate page ids."""
