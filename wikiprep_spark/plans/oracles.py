@@ -388,6 +388,10 @@ FROM (
             )
         return " + ".join(terms)
 
+    # IVF top-k at full probe width == exhaustive search (gates the
+    # inverted-file machinery end to end)
+    sql["sim_ivf_topk"] = sql["sim_cosine_topk"]
+
     # exact embedding near-dup pairs (same fold order as Spark -> bit-exact)
     sql["sim_near_dup"] = f"""
 WITH e AS (

@@ -287,6 +287,17 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def sim_ivf_topk(spark, sf_dir):
+    # IVF with n_probe == n_centroids is exhaustive search routed through
+    # the inverted-file machinery (coarse quantizer, per-list join, merge
+    # + re-rank), so the exact-top-k SQL gates the whole path; production
+    # uses n_probe << n_centroids (unit-tested subset semantics)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_cosine_topk(emb, queries, k=5, n_centroids=8,
+                                      n_probe=8)
+
+
 def sim_near_dup(spark, sf_dir):
     # exact all-pairs baseline (the banded-LSH variant
     # similarity.cosine_near_dup_pairs is the corpus-scale path; its
@@ -339,4 +350,5 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_near_dup": sim_near_dup,
+    "sim_ivf_topk": sim_ivf_topk,
 }
