@@ -7,8 +7,9 @@ triple stream.
 
 queries()/oracle_sql(): per-operator DataFrame callables and their DuckDB
 oracles (see wikiprep_spark/plans/queries.py and plans/oracles.py).
-Queries without an oracle entry (minhash/simhash/LSH/lang-id — hash- or
-heuristic-specific) get the driver's rows-only check.
+Every query carries an exact oracle — hash-specific operators (minhash,
+simhash, hyperplane LSH) use cross-engine-reproducible hashes whose SQL
+twins are generated alongside the Spark expressions.
 """
 
 from __future__ import annotations

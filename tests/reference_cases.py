@@ -175,6 +175,89 @@ def page_anchor_rows(r: dict) -> list[tuple]:
     return rows
 
 
+# cases with a vetted .redir.xml (Output/Legacy.pm writeRedirects)
+REDIR_CASES = ["redir", "tempredir"]
+
+
+def redirect_records(pre: dict) -> set:
+    """Legacy.writeRedirects (Output/Legacy.pm:61-103) over a prescan
+    result: resolve both endpoints via title2id ("unknown" when missing),
+    skip records whose resolved endpoint is a template page.  Returned as
+    a set — the reference iterates a Perl hash (arbitrary order)."""
+    out = set()
+    for from_title, to_title in pre["redir"].items():
+        from_id = pre["title2id"].get(from_title, "unknown")
+        if from_id in pre["templates"]:
+            continue
+        to_id = pre["title2id"].get(to_title, "unknown")
+        if to_id in pre["templates"]:
+            continue
+        out.add((str(from_id), from_title, str(to_id), to_title))
+    return out
+
+
+def load_vetted_redir(name: str) -> set:
+    """(from_id, from_title, to_id, to_title) records from a vetted
+    .redir.xml file (titles XML-decoded by ElementTree, matching the raw
+    titles on the computed side)."""
+    root = ET.parse(f"{CASES_DIR}/{name}.redir.xml.vetted").getroot()
+    out = set()
+    for r in root.iter("redirect"):
+        fr, to = r.find("from"), r.find("to")
+        out.add((fr.findtext("id"), fr.findtext("title"),
+                 to.findtext("id"), to.findtext("title")))
+    return out
+
+
+def related_lines(results: list) -> list:
+    """Legacy._logRelatedArticles (Output/Legacy.pm:269-278): one
+    "id\\tid id id" line per emitted page with nonempty relatedArticles,
+    in input order."""
+    out = []
+    for r in results:
+        if "text" not in r:
+            continue
+        rel = r.get("relatedArticles", [])
+        if rel:
+            out.append("%d\t%s" % (r["id"], " ".join(str(i) for i in rel)))
+    return out
+
+
+def disambig_lines(results: list) -> list:
+    """Legacy._logDisambig (Output/Legacy.pm:280-305): per disambig page,
+    one line per disambigLinks group — the page id, then per anchor the
+    target id (or "undef") and the anchor text with tabs flattened.  A
+    group with zero anchors emits just the id."""
+    out = []
+    for r in results:
+        if "text" not in r or not r.get("isDisambig"):
+            continue
+        for group in r.get("disambigLinks", ()):
+            parts = [str(r["id"])]
+            for a in group:
+                tid = a.get("targetId")
+                parts.append("undef" if tid is None else str(tid))
+                parts.append(a["anchorText"].replace("\t", " "))
+            out.append("\t".join(parts))
+    return out
+
+
+def load_vetted_lines(path: str) -> list:
+    """Non-comment, non-blank lines of a tab-separated vetted log file."""
+    with open(path, encoding="utf-8") as fh:
+        return [ln.rstrip("\n") for ln in fh
+                if ln.strip() and not ln.startswith("#")]
+
+
+def all_case_dumps() -> list:
+    """Every minidump under the reference's t/cases (the robustness sweep
+    t/cases.t:55-82 runs: wikiprep must exit 0 on each, vetted or not)."""
+    return sorted(
+        fn[:-4] for fn in os.listdir(CASES_DIR)
+        if fn.endswith(".xml") and not fn.endswith(".vetted")
+    )
+
+
 # cases run with "-format composite" (t/cases/options) and vetted .gum.xml
 GUM_CASES = [
     "apple", "asse", "barzilla", "gallery", "images", "interwiki-new",

@@ -314,12 +314,13 @@ def test_fused_pipeline_equality(spark, tmp_path):
         assert a == b and a, table
     assert fused["_counts"]["transformed"] == staged["transformed"].count()
     assert fused["_counts"]["triples"] == staged["triples"].count()
-    # lineage totals (rows + content checksum) agree across modes even
-    # though partition boundaries may differ (byte_count intentionally
-    # differs: staged counts inner page text, fused counts raw XML)
+    # lineage totals (rows, content checksum AND byte_count — all three
+    # sum the same raw-record quantities) agree across modes even though
+    # partition boundaries may differ
     def totals(wd):
         df = spark.read.parquet(str(tmp_path / wd / "lineage"))
-        r = df.agg(F.sum("rows"), F.sum("content_checksum")).first()
+        r = df.agg(F.sum("rows"), F.sum("content_checksum"),
+                   F.sum("byte_count")).first()
         return tuple(r)
     assert totals("w1") == totals("w2")
 
@@ -363,7 +364,9 @@ def test_pipeline_resume_skips_finished_stages(spark, tmp_path):
 
 def test_dup_losers_from_src_equivalence(spark):
     """JVM-side dup-id extraction must match the parse-derived one,
-    including on corpora with duplicate page ids."""
+    including on corpora with duplicate page ids AND malformed records:
+    a garbage record containing "<id>N</id>" must not join the dup set
+    (it would anti-join away the validly-parsed page with that id)."""
     from wikiprep_spark.operators import prescan as P
     from wikiprep_spark.sources.corpus import build_src_pages, _row
     from wikiprep_spark.sources.pages import parse_pages
@@ -375,6 +378,16 @@ def test_dup_losers_from_src_equivalence(spark):
          _row(1005, "Dup A", "text a")[4]),
         ("wiki/dup", "b.xml", "c2", "wikitext",
          _row(1005, "Dup B", "text b")[4]),
+        # malformed records that the python parser rejects; "!" sorts the
+        # seq key BEFORE every valid record, so if either leaked into the
+        # JVM dup set it would win min(seq) and evict a real page
+        ("!bad", "a.xml", "c0", "wikitext",
+         "garbage <id>1001</id> not xml"),
+        ("!bad", "b.xml", "c0", "wikitext",
+         "<page><title>T</title><id>1002</id>"),
+        # wrapped record (valid; parser unwraps to the inner <page>)
+        ("!wrap", "w.xml", "c0", "wikitext",
+         "<mediawiki>" + _row(1005, "Dup W", "text w")[4] + "</mediawiki>"),
     ]
     dup = spark.createDataFrame(
         dup_rows,
@@ -395,6 +408,69 @@ def test_dup_losers_from_src_equivalence(spark):
     assert n == 1
 
 
+def test_pruned_dict_backward_straddle(tmp_path, monkeypatch):
+    """An equal-hash run that straddles a row-group boundary must be fully
+    reachable: bisect lands on the LAST group whose min <= hash, so the
+    lookup has to rewind to the run's first group (hash collisions are
+    expected at the 10^9-key scale the pruned path is built for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikiprep_spark.functions import dictload
+
+    # 6 rows, hash H for all but the first; 2-row groups put the H-run
+    # start in group 0 and its tail through groups 1-2
+    H = 10**9
+    tbl = pa.table({
+        "kh": pa.array([H - 1, H, H, H, H, H], pa.int64()),
+        "k": ["z", "a", "b", "c", "d", "e"],
+        "v": ["vz", "va", "vb", "vc", "vd", "ve"],
+    })
+    d = tmp_path / "dict"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"), row_group_size=2)
+
+    fake = {"z": H - 1, "a": H, "b": H, "c": H, "d": H, "e": H}
+    monkeypatch.setattr(dictload, "key_hash", lambda k: fake[k])
+    rg = dictload.RowGroupPrunedDict(str(d))
+    assert len(rg._index) == 3  # the straddle actually exists
+    for k in "zabcde":
+        assert rg.get(k) == "v" + k, k
+
+
+def test_pruned_dicts_resume_gates_on_all_subtables(spark, tmp_path):
+    """ADVICE: a crash after the title2id sub-write but before the
+    templates sub-write must NOT count as a finished dicts stage — resume
+    has to rewrite the dictionaries when any sub-table marker is missing."""
+    import os
+
+    from wikiprep_spark.plans.pipeline import run_pipeline
+    from wikiprep_spark.sources.corpus import build_src_pages
+
+    src_dir = str(tmp_path / "src")
+    build_src_pages(spark, "/root/testdata/sf0.001", limit=40) \
+        .repartition(2).write.parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    wd = str(tmp_path / "work")
+
+    first = run_pipeline(spark, src, work_dir=wd, resume=True,
+                         dict_mode="pruned")
+    assert isinstance(first["_metrics"].stages[1]["dict_rows"], int)
+    n = first["triples"].count()
+    dicts = os.path.join(wd, "dicts_pruned")
+
+    # simulate the mid-stage crash: templates/_SUCCESS never landed
+    os.remove(os.path.join(dicts, "templates", "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(dicts, "title2id", "_SUCCESS"))
+    second = run_pipeline(spark, src, work_dir=wd, resume=True,
+                          dict_mode="pruned")
+    assert second["triples"].count() == n
+    assert os.path.exists(os.path.join(dicts, "templates", "_SUCCESS"))
+    # the stage reran as a unit (title2id rewritten too, not skipped)
+    assert os.path.getmtime(
+        os.path.join(dicts, "title2id", "_SUCCESS")) > mtime
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     integ = multimodal.payload_integrity(media).collect()
@@ -408,6 +484,98 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image", strict=True)
+    # codec-bound payloads still raise in strict mode via the dispatcher
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\xff\xd8\xff\xe0jpegish", "image",
+                                strict=True)
+
+
+def _make_png(w, h, color=(200, 50, 7)):
+    """Minimal real RGB8 PNG, built with the stdlib (the same chunk/CRC/
+    zlib layout any encoder emits)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(color) * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_wav(n_frames=64, rate=8000, amplitude=1000):
+    import math
+    import struct
+
+    samples = b"".join(
+        struct.pack("<h", int(amplitude * math.sin(i / 3.0)))
+        for i in range(n_frames))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_png_real():
+    png = _make_png(5, 3)
+    d = multimodal.decode_png(png)
+    assert (d["width"], d["height"], d["bit_depth"], d["channels"]) == \
+        (5, 3, 8, 3)
+    # strict mode succeeds: this is a REAL decode, not the stub
+    feat, status = multimodal.decode_media(png, "image", strict=True)
+    assert status == "ok_png" and len(feat) == 8 and feat[0] == 1.0
+    # corruption is detected (CRC), not silently featurized
+    import pytest as _pytest
+
+    bad = png[:40] + bytes([png[40] ^ 0xFF]) + png[41:]
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(bad)
+
+
+def test_decode_wav_real():
+    wav = _make_wav()
+    d = multimodal.decode_wav(wav)
+    assert (d["channels"], d["rate"], d["bits"], d["n_samples"]) == \
+        (1, 8000, 16, 64)
+    assert 0.0 < d["rms"] <= d["peak"] <= 1.0
+    feat, status = multimodal.decode_media(wav, "audio", strict=True)
+    assert status == "ok_wav" and feat[0] == 2.0
+    # non-PCM stays codec-bound -> ValueError, not a fake feature
+    import struct
+
+    gsm_fmt = struct.pack("<HHIIHH", 49, 1, 8000, 1625, 65, 0)
+    gsm = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(gsm_fmt)) + gsm_fmt)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(gsm)
+
+
+def test_media_decode_in_spark(spark):
+    """The mapInPandas chain routes each payload to its real decoder."""
+    rows = [
+        (1, "image", bytearray(_make_png(4, 4))),
+        (2, "audio", bytearray(_make_wav())),
+        (3, "blob", bytearray(b"opaque-unknown-bytes")),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, media_type string, payload binary")
+    media = df.select(
+        "item_id", "media_type", "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+    got = {r["item_id"]: r for r in
+           multimodal.extract_features(media).collect()}
+    assert got[1]["decode_status"] == "ok_png"
+    assert got[2]["decode_status"] == "ok_wav"
+    assert got[3]["decode_status"] == "ok_stub"
+    assert all(len(r["feature"]) == 8 for r in got.values())
 
 
 def test_shingle_dedup(spark, docs):

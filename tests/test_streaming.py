@@ -72,6 +72,73 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert merged.groupBy("page_id").count().where("count > 1").count() == 0
 
 
+def test_dictionary_refresh_cycle(spark, tmp_path):
+    """The riffle merge cycle (tools/riffle/riffle.cpp semantics): pages
+    stream against dictionary snapshot v1; a template published mid-stream
+    is picked up by the next batch prescan (snapshot v2), and the NEXT
+    micro-batch transforms against v2 — already-emitted rows are never
+    recomputed (checkpoint offsets), so the output is the riffle merge of
+    v1- and v2-transformed pages."""
+    import os
+
+    from wikiprep_spark.sources.mediawiki_xml import make_page_xml
+
+    def src_df(rows):
+        return spark.createDataFrame(
+            [("wiki", path, "c0", "wikitext", make_page_xml(pid, t, x))
+             for path, pid, t, x in rows],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # epoch 1: an article transcluding a template that does NOT exist yet
+    src_df([
+        ("a1.xml", 1, "Alpha", "{{Greet}} and [[Beta]]"),
+        ("a2.xml", 2, "Beta", "plain body"),
+    ]).coalesce(1).write.mode("append").parquet(src_dir)
+    v1 = run_pipeline(spark, spark.read.parquet(src_dir))
+
+    q1 = ingest.start_edge_sink(
+        ingest.streaming_transform(
+            ingest.stream_src_pages(spark, src_dir), v1["_dicts_path"]),
+        out_dir, ckpt, available_now=True)
+    q1.awaitTermination(300)
+    alpha_v1 = spark.read.parquet(out_dir).where("page_id = 1").first()
+    assert "hello from greet" not in alpha_v1["text"]  # dict v1: no Greet
+
+    # the template is published mid-stream, plus a new article using it
+    src_df([
+        ("t1.xml", 50, "Template:Greet", "hello from greet"),
+        ("a3.xml", 3, "Gamma", "{{Greet}} and [[Alpha]]"),
+    ]).coalesce(1).write.mode("append").parquet(src_dir)
+    # dictionary-refresh: the next batch prescan builds snapshot v2
+    v2 = run_pipeline(spark, spark.read.parquet(src_dir))
+    assert v2["_dicts_path"] != v1["_dicts_path"]
+
+    # next catch-up trigger transforms ONLY the new files, against v2
+    q2 = ingest.start_edge_sink(
+        ingest.streaming_transform(
+            ingest.stream_src_pages(spark, src_dir), v2["_dicts_path"]),
+        out_dir, ckpt, available_now=True)
+    q2.awaitTermination(300)
+
+    merged = spark.read.parquet(out_dir)
+    rows = {r["page_id"]: r for r in merged.collect()}
+    # new page expanded with the refreshed dictionary...
+    assert "hello from greet" in rows[3]["text"]
+    assert rows[3]["template_incl"] and 50 in {
+        t["template_id"] for t in rows[3]["template_incl"]}
+    # ...while the v1-transformed page was NOT recomputed (riffle merge:
+    # old output rows are immutable)
+    assert rows[1]["text"] == alpha_v1["text"]
+    assert merged.groupBy("page_id").count().where("count > 1").count() == 0
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ev_dir = str(tmp_path / "events")

@@ -1,8 +1,17 @@
 #!/usr/bin/env python
 """Physical-plan audit: captures .explain("formatted") for the flagship
-operators and greps the properties that matter at 100 TB (broadcast
-joins, exchange reuse, pushed filters, pruned read schemas, codegen
-spans).  Writes PLANS.md.  Run: python tools_plan_audit.py"""
+operators, greps the properties that matter at 100 TB (broadcast joins,
+exchange reuse, pushed filters, pruned read schemas, codegen spans,
+single-partition exchanges) and ASSERTS per-operator rules — a plan
+regression fails the audit (and the pytest suite via tests/test_plans.py)
+instead of silently going stale in PLANS.md.
+
+Static explain shows the pre-adaptive plan; exchange REUSE is applied by
+AQE at runtime, so the audit also executes selected queries and captures
+the post-AQE final plan (isFinalPlan=true) where ReusedExchange is
+visible.  Run standalone: python tools_plan_audit.py  (writes PLANS.md,
+exits nonzero on any rule violation).
+"""
 
 import io
 import os
@@ -22,13 +31,24 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def final_plan(df) -> str:
+    """Execute the query and return the post-AQE executed plan (the one
+    with isFinalPlan=true where runtime exchange reuse is visible)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def audit(plan: str) -> dict:
     return {
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        # the queries-x-corpus cross joins broadcast via nested-loop
+        "broadcast_joins": len(re.findall(
+            r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "shuffles": len(re.findall(
             r"Arguments: hashpartitioning|Arguments: rangepartitioning",
             plan)),
+        "single_partition": len(re.findall(
+            r"Exchange SinglePartition", plan)),
         "reused_exchanges": len(re.findall(r"ReusedExchange", plan)),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "scans": re.findall(r"ReadSchema: (.*)", plan)[:4],
@@ -36,29 +56,125 @@ def audit(plan: str) -> dict:
     }
 
 
-def main():
-    from pyspark.sql import functions as F
+def check_rules(name: str, plan: str, rules: dict) -> list:
+    """Evaluate one operator's rules against its plan; returns violation
+    strings (empty = clean)."""
+    a = audit(plan)
+    probs = []
+    if a["sortmerge_joins"] > rules.get("max_sortmerge", 0):
+        probs.append(f"{a['sortmerge_joins']} sort-merge joins "
+                     f"(max {rules.get('max_sortmerge', 0)})")
+    if a["single_partition"] > rules.get("max_single_partition", 0):
+        probs.append(f"{a['single_partition']} single-partition exchanges "
+                     f"(max {rules.get('max_single_partition', 0)})")
+    if "max_shuffles" in rules and a["shuffles"] > rules["max_shuffles"]:
+        probs.append(f"{a['shuffles']} shuffles "
+                     f"(max {rules['max_shuffles']})")
+    if a["broadcast_joins"] < rules.get("min_broadcast", 0):
+        probs.append(f"{a['broadcast_joins']} broadcast joins "
+                     f"(need >= {rules['min_broadcast']})")
+    if rules.get("require_pushed"):
+        pushed = [p.strip() for p in a["pushed"]
+                  if p.strip() and p.strip() != "[]"]
+        if not pushed:
+            probs.append("no PushedFilters reached the scan")
+    for token in rules.get("require", ()):
+        if token not in plan:
+            probs.append(f"missing {token}")
+    for token in rules.get("forbid", ()):
+        if token in plan:
+            probs.append(f"forbidden {token} present")
+    return probs
+
+
+# Rules for the operators whose plans must not regress.  These are
+# buildable without running the kg pipeline, so tests/test_plans.py
+# asserts them on every pytest run.
+def cheap_targets(spark, sf=SF):
+    from pyspark.sql import functions as F  # noqa: F401
 
     from wikiprep_spark.operators import dedup, similarity
+    from wikiprep_spark.plans import queries as Q
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb_q = emb.where("vec_id < 10")
+    return {
+        # scan+filter+agg: filter and 7-column projection must reach the
+        # parquet scan; one shuffle (the final agg)
+        "q1_pricing_summary": (
+            Q.q1_pricing_summary(spark, sf),
+            {"require_pushed": True, "max_shuffles": 1},
+        ),
+        # dims broadcast; the orders fact shuffles only for the final agg
+        "q_join_revenue_by_nation": (
+            Q.q_join_revenue_by_nation(spark, sf),
+            {"min_broadcast": 2, "max_shuffles": 1},
+        ),
+        # single hash-shuffle on md5 keys, no text shuffled
+        "dedup_exact": (
+            dedup.exact_dedup(docs),
+            {"max_shuffles": 1},
+        ),
+        # band-bucket self-join over an explicit (band,bucket) exchange
+        # (AQE reuses it at runtime — see the final-plan capture)
+        "dedup_minhash_lsh": (
+            dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                    threshold=0.8),
+            {},
+        ),
+        # queries broadcast against the corpus scan
+        "sim_cosine_topk": (
+            similarity.cosine_topk(emb, emb_q, k=5),
+            {"min_broadcast": 1},
+        ),
+        # banded hyperplane buckets; no global sort anywhere
+        "sim_near_dup_lsh": (
+            similarity.cosine_near_dup_pairs(emb, dim=64, threshold=0.95,
+                                             max_bucket=10000),
+            {},
+        ),
+        # IVF centroid bootstrap: distributed partial top-k, NOT a global
+        # sort / single-partition window (the round-2 scale bug)
+        "ivf_centroid_seeds": (
+            similarity.ivf_centroid_seeds(emb, 16),
+            {"require": ["TakeOrderedAndProject"],
+             "forbid": ["Exchange SinglePartition", "Window"]},
+        ),
+        # IVF search: literal quantizer (no join for assignment), centroid
+        # shuffle key, queries broadcast
+        "sim_ivf_topk": (
+            similarity.ivf_cosine_topk(emb, emb_q, k=5, n_centroids=4,
+                                       n_probe=2),
+            {"min_broadcast": 1},
+        ),
+        # pure whole-stage-codegen projection: zero shuffles, zero UDFs
+        "text_quality": (
+            Q.text_quality(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
+    }
+
+
+def run_checks(spark, sf=SF) -> dict:
+    """Build all cheap targets, evaluate rules; returns
+    {name: (plan, violations)}."""
+    out = {}
+    for name, (df, rules) in cheap_targets(spark, sf).items():
+        plan = formatted_plan(df)
+        out[name] = (plan, check_rules(name, plan, rules))
+    return out
+
+
+def main():
+    from wikiprep_spark.operators import dedup
     from wikiprep_spark.plans.queries import QUERIES
     from wikiprep_spark.plans.session import build_session
 
     spark = build_session(app_name="plan-audit", master="local[4]",
                           shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-
-    targets = {}
-    for name in ["q1_pricing_summary", "q_join_revenue_by_nation",
-                 "kg_incoming_links", "dedup_exact", "dedup_minhash_lsh",
-                 "sim_cosine_topk", "text_quality"]:
-        targets[name] = QUERIES[name](spark, SF)
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    targets["dedup_minhash_lsh_sh3_guarded"] = dedup.minhash_lsh_pairs(
-        docs, num_hashes=32, bands=4, threshold=0.8, shingle=3,
-        max_bucket=10000)
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    targets["sim_near_dup_lsh"] = similarity.cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.95, max_bucket=10000)
 
     notes = {
         "q1_pricing_summary": "scan+filter+agg: filter and 7-column "
@@ -69,44 +185,71 @@ def main():
             "design (salt phase bounds any single reducer's hub share)",
         "dedup_exact": "single hash-shuffle on md5 keys, no text shuffled",
         "dedup_minhash_lsh": "band-bucket self-join over an explicit "
-            "(band,bucket) exchange; under AQE exchange reuse is applied "
-            "at RUNTIME (static explain shows the pre-adaptive plan), "
-            "and the effect is measured: 98s -> 8s at sf0.1 when the "
-            "exchange was introduced",
-        "dedup_minhash_lsh_sh3_guarded": "production config: the window "
-            "guard's exchange is reused by both self-join sides at "
-            "runtime (AQE)",
+            "(band,bucket) exchange; reuse shown in the post-AQE final "
+            "plan below",
         "sim_cosine_topk": "queries broadcast against the corpus scan",
         "sim_near_dup_lsh": "banded hyperplane buckets, exchange reused "
             "across self-join sides",
+        "ivf_centroid_seeds": "TakeOrderedAndProject (distributed partial "
+            "top-k) — no global sort, no single-partition exchange",
+        "sim_ivf_topk": "literal coarse quantizer, centroid-key shuffle, "
+            "queries broadcast",
         "text_quality": "pure whole-stage-codegen projection, zero "
             "shuffles, zero UDFs",
     }
 
     lines = ["# PLANS — physical-plan audit of flagship operators\n",
              "Generated by tools_plan_audit.py (re-run after plan-touching "
-             "changes).  Numbers are occurrences in "
-             '`.explain("formatted")` at sf0.01.\n']
-    for name, df in targets.items():
-        plan = formatted_plan(df)
+             "changes; also asserted by tests/test_plans.py).  Numbers are "
+             'occurrences in `.explain("formatted")` at sf0.01.\n']
+    failures = []
+    results = run_checks(spark)
+    # the kg query needs the pipeline run; audit it here (not in pytest)
+    results["kg_incoming_links"] = (
+        formatted_plan(QUERIES["kg_incoming_links"](spark, SF)), [])
+
+    for name, (plan, probs) in results.items():
         a = audit(plan)
         lines.append(f"\n## {name}\n")
         lines.append(f"{notes.get(name, '')}\n")
         lines.append(
             f"- broadcast joins: {a['broadcast_joins']}, sort-merge "
             f"joins: {a['sortmerge_joins']}, shuffles: {a['shuffles']}, "
-            f"reused exchanges: {a['reused_exchanges']}, codegen spans: "
-            f"{a['codegen_spans']}\n"
+            f"single-partition exchanges: {a['single_partition']}, "
+            f"codegen spans: {a['codegen_spans']}\n"
         )
         for s in a["scans"]:
             lines.append(f"- ReadSchema: `{s.strip()[:140]}`\n")
         for p in a["pushed"]:
             if p.strip() and p.strip() != "[]":
                 lines.append(f"- PushedFilters: `{p.strip()[:140]}`\n")
+        if probs:
+            failures.append((name, probs))
+            lines.append(f"- **RULE VIOLATIONS: {probs}**\n")
+
+    # post-AQE final plan: prove runtime exchange reuse on the LSH
+    # self-join (static explain can never show ReusedExchange under AQE)
+    docs_small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = dedup.minhash_lsh_pairs(docs_small, num_hashes=32, bands=16,
+                                  threshold=0.8)
+    fp = final_plan(lsh)
+    n_reused = len(re.findall(r"ReusedExchange", fp))
+    lines.append("\n## post-AQE final plan: dedup_minhash_lsh (sf0.001)\n")
+    lines.append(f"- isFinalPlan=true captured; ReusedExchange nodes: "
+                 f"{n_reused} (the (band,bucket) exchange feeds both "
+                 f"self-join sides)\n")
+    if n_reused < 1:
+        failures.append(("dedup_minhash_lsh_final",
+                         ["no ReusedExchange in post-AQE final plan"]))
+
     with open("PLANS.md", "w") as fh:
         fh.writelines(lines)
     print("wrote PLANS.md")
     spark.stop()
+    if failures:
+        for name, probs in failures:
+            print(f"PLAN RULE VIOLATION {name}: {probs}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

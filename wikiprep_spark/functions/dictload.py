@@ -137,6 +137,14 @@ class RowGroupPrunedDict:
         i = bisect.bisect_right(self._mins, kh) - 1
         if i < 0:
             return default
+        # an equal-hash run can straddle a row-group/file boundary BACKWARD
+        # as well: bisect lands on the LAST group whose min <= kh, so when
+        # the previous group's max reaches kh the run started earlier —
+        # rewind to the first group of the run before scanning forward
+        # (60-bit hash collisions are expected at the 10^9-key scale this
+        # path exists for, and _scan only walks forward)
+        while i > 0 and self._index[i - 1][1] >= kh:
+            i -= 1
         v = self._scan(i, kh, key)
         return default if v is None else v
 

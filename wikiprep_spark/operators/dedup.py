@@ -296,10 +296,18 @@ def minhash_lsh_bucket_stats(
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text",
             bits=16) -> DataFrame:
     """(doc, simhash) 16-bit SimHash over token hashes: per-bit majority
-    vote, computed with aggregate expressions only."""
+    vote, computed with aggregate expressions only.
+
+    The token hash is the md5-derived 60-bit integer shared with the
+    pruned-dictionary layout (functions/dictload.key_hash) — unlike
+    xxhash64 it has an exact cross-engine twin, so the DuckDB oracle
+    (plans/oracles.py dedup_simhash) reproduces the full pipeline
+    bit-for-bit."""
     toks = _token_sets(docs, id_col, text_col)
     th = toks.select("doc", F.transform(
-        "toks", lambda t: F.xxhash64(t)).alias("hashes"))
+        "toks",
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    ).alias("hashes"))
     def bit_vote(b):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)

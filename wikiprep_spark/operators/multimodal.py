@@ -2,10 +2,14 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; the Spark-side plumbing (schemas, batching, partitioning,
-UDF signatures) is real and tested.  The actual media decoding is STUBBED —
-the decode libraries (PIL/ffmpeg/etc.) are not available in this
-environment — behind ``decode_stub``: a clearly-marked deterministic fake
-that raises ``NotImplementedError`` when strict=True.
+UDF signatures) is real and tested.  Self-describing formats are decoded
+for real with the stdlib — PNG (chunk walk, per-chunk CRC32 validation,
+IDAT zlib inflate, raw-size check against IHDR geometry) and PCM WAV
+(RIFF chunk walk, fmt parse, sample decode + RMS/peak features).  Only
+codec-bound media (JPEG entropy decode, video, compressed audio) remains
+STUBBED behind ``decode_stub`` — the codec libraries (PIL/ffmpeg) are not
+available in this environment — a clearly-marked deterministic fake that
+raises ``NotImplementedError`` when strict=True.
 """
 
 from __future__ import annotations
@@ -62,6 +66,122 @@ def decode_stub(payload: bytes, media_type: str, strict: bool = False):
     return [h / total for h in hist]
 
 
+def decode_png(payload: bytes) -> dict | None:
+    """Real PNG decode with the stdlib: signature check, chunk walk with
+    per-chunk CRC32 validation, IHDR geometry, IDAT concatenation + zlib
+    inflate, and a raw-stream size check (height x (1 + width*bytes/px)
+    for non-interlaced >=8-bit images).  Returns None if the payload is
+    not PNG; raises ValueError on a corrupt PNG."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n_chunks, idat, crc_ok = 8, 0, b"", True
+    w = h = depth = ctype = interlace = None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        crc_ok = crc_ok and (zlib.crc32(tag + data) & 0xFFFFFFFF) == crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data[:13])
+        elif tag == b"IDAT":
+            idat += data
+        n_chunks += 1
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if not crc_ok:
+        raise ValueError("PNG chunk CRC mismatch")
+    raw = zlib.decompress(idat) if idat else b""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if depth >= 8 and interlace == 0 and idat:
+        expected = h * (1 + w * channels * (depth // 8))
+        if len(raw) != expected:
+            raise ValueError("PNG raw stream size mismatch")
+    return {"format": "png", "width": w, "height": h, "bit_depth": depth,
+            "color_type": ctype, "channels": channels,
+            "n_chunks": n_chunks, "raw_bytes": len(raw)}
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Real PCM WAV decode with the stdlib: RIFF chunk walk, fmt parse,
+    8/16-bit sample decode, RMS + peak features.  Returns None if the
+    payload is not RIFF/WAVE; raises ValueError for non-PCM encodings
+    (those are codec-bound and fall to the stub)."""
+    import array
+    import math
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV without fmt chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("non-PCM WAV (codec-bound)")
+    width = bits // 8
+    usable = len(data) // width * width
+    samples = array.array("h" if bits == 16 else "b", data[:usable])
+    n = len(samples)
+    full = float(1 << (bits - 1))
+    rms = math.sqrt(sum(s * s for s in samples) / n) / full if n else 0.0
+    peak = max((abs(s) for s in samples), default=0) / full
+    return {"format": "wav", "channels": channels, "rate": rate,
+            "bits": bits, "n_samples": n, "rms": rms, "peak": peak}
+
+
+def decode_media(payload: bytes, media_type: str,
+                 strict: bool = False) -> tuple:
+    """Dispatch decode: real stdlib decoders for self-describing formats
+    (PNG, PCM WAV), decode_stub for everything codec-bound.  Returns
+    (8-dim feature vector, status); strict mode raises only for the
+    formats that genuinely need absent codec libraries."""
+    png = decode_png(payload)
+    if png is not None:
+        return [
+            1.0,
+            min(png["width"], 65535) / 65535.0,
+            min(png["height"], 65535) / 65535.0,
+            png["bit_depth"] / 16.0,
+            png["color_type"] / 6.0,
+            png["channels"] / 4.0,
+            min(png["n_chunks"], 64) / 64.0,
+            1.0,
+        ], "ok_png"
+    wav = decode_wav(payload)
+    if wav is not None:
+        return [
+            2.0,
+            wav["channels"] / 8.0,
+            min(wav["rate"], 192000) / 192000.0,
+            wav["bits"] / 32.0,
+            min(wav["n_samples"], 10 ** 6) / 10.0 ** 6,
+            wav["rms"],
+            wav["peak"],
+            1.0,
+        ], "ok_wav"
+    return decode_stub(payload, media_type, strict), "ok_stub"
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     """mapInPandas feature extraction over binary payloads: Arrow batches of
     (id, payload) -> (id, feature vector, status).  The batch shape, schema
@@ -75,11 +195,13 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 batch["meta"],
             ):
                 try:
-                    feat = decode_stub(bytes(payload), mtype)
-                    status = "ok_stub"
+                    feat, status = decode_media(bytes(payload), mtype)
                 except NotImplementedError:
                     feat = None
                     status = "decode_unavailable"
+                except ValueError:
+                    feat = None
+                    status = "corrupt"
                 out.append(
                     (item_id, mtype, meta["n_bytes"], meta["sha256"], feat,
                      status)

@@ -47,15 +47,30 @@ def _dup_losers(ids: DataFrame) -> DataFrame:
 
 def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
     """Duplicate-id losers computed ENTIRELY JVM-side from the raw source
-    table: the page id is the first <id> element of the record (exactly
-    parse_page_record's rule) and seq is the same repo/path/commit key the
-    parser emits.  In the fused two-pass pipeline this keeps the dup-id
-    subquery from dragging a full python parse pass into every job that
-    consumes live_pages."""
-    ids = src_pages.select(
-        F.regexp_extract("content", r"<id>(\d+)</id>", 1)
-        .cast("long").alias("page_id"),
+    table, with parse_page_record's exact id rule: the first <id> child of
+    the <page> element (of a bare record, or the <page> under a wrapping
+    root), null for records the python parser rejects.  from_xml in
+    PERMISSIVE mode nulls out malformed XML, so a garbage record that
+    merely *contains* "<id>N</id>" can never join the dup set and anti-join
+    away the validly-parsed page with that id (a regex extraction had
+    exactly that failure mode).  In the fused two-pass pipeline this keeps
+    the dup-id subquery from dragging a full python parse pass into every
+    job that consumes live_pages."""
+    x = F.expr("from_xml(content, 'id BIGINT, page STRUCT<id: BIGINT>')")
+    root_tag = F.regexp_extract(
+        "content", r"^\s*(?:<\?[^>]*\?>\s*)?<([A-Za-z_][\w.-]*)", 1
+    )
+    # two-step projection so the XML parse runs ONCE per row (a collapsed
+    # single projection would inline the from_xml expression twice)
+    staged = src_pages.select(
+        x.alias("_x"),
+        root_tag.alias("_root"),
         F.concat_ws("\x00", "repo", "path", "commit").alias("seq"),
+    )
+    ids = staged.select(
+        F.when(F.col("_root") == "page", F.col("_x.id"))
+        .otherwise(F.col("_x.page.id")).alias("page_id"),
+        "seq",
     ).where(F.col("page_id").isNotNull())
     return _dup_losers(ids)
 
@@ -242,19 +257,30 @@ def _key_hash_col(k):
 
 def write_dicts_pruned(title2id: DataFrame, redirects: DataFrame,
                        template_bodies: DataFrame, path: str,
-                       range_partitions: int = 8) -> str:
+                       range_partitions: int = 8) -> int | None:
     """The big-dict layout (SURVEY.md §4 scale path): title2id and redir
     written hash-sorted with small row groups, so transform workers
     binary-search them via footer statistics (functions/dictload.
     RowGroupPrunedDict) instead of materializing the whole dictionary in
-    every python worker.  Template bodies stay a small plain table."""
+    every python worker.  Template bodies stay a small plain table.
+    Returns the total dictionary row count (observed on the write jobs,
+    same contract as write_dicts)."""
+    from pyspark.sql import Observation
+
+    observations = []
+
+    def observed(df):
+        obs = Observation()
+        observations.append(obs)
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
     def sorted_write(df, k, v, sub):
         (
-            df.select(
+            observed(df.select(
                 _key_hash_col(F.col(k)).alias("kh"),
                 F.col(k).alias("k"),
                 F.col(v).alias("v"),
-            )
+            ))
             .repartitionByRange(range_partitions, "kh")
             .sortWithinPartitions("kh", "k")
             .write.mode("overwrite")
@@ -266,14 +292,17 @@ def write_dicts_pruned(title2id: DataFrame, redirects: DataFrame,
     sorted_write(title2id, "title_norm", "page_id", "title2id")
     sorted_write(redirects, "from_title", "to_title", "redir")
     (
-        template_bodies.select(
+        observed(template_bodies.select(
             F.col("template_id").cast("string").alias("k"),
             F.col("body").alias("v"),
-        )
+        ))
         .write.mode("overwrite")
         .parquet(os.path.join(path, "templates"))
     )
-    return path
+    try:
+        return sum(obs.get["rows"] for obs in observations)
+    except Exception:
+        return None
 
 
 def redirect_records_df(redirects: DataFrame, title2id: DataFrame,

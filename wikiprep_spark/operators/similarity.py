@@ -274,22 +274,27 @@ def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
     )
 
 
+def ivf_centroid_seeds(emb: DataFrame, n_centroids: int = 16,
+                       id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """The centroid-seed plan: the n_centroids corpus vectors with the
+    smallest xxhash64(id) — a deterministic pseudo-random sample.
+    orderBy().limit(n) compiles to TakeOrderedAndProject: every task keeps
+    its local top-n and the driver merges n_centroids rows — NO global
+    sort, no single-partition exchange, no separate count job, so the
+    bootstrap holds at 10^9 vectors (the plan audit asserts this)."""
+    return (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+    )
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, id_col="vec_id",
                   vec_col="embedding") -> list:
-    """Deterministic coarse centroids: an evenly-strided sample of corpus
-    vectors by id rank.  (A KMeans refinement can replace this without
-    touching the search path; strided seeds are the standard IVF
-    bootstrap and keep the whole operator reproducible.)  Driver-side
-    collect of n_centroids rows only."""
-    n = emb.count()
-    stride = max(n // n_centroids, 1)
-    w = Window.orderBy(id_col)
-    seeds = (
-        emb.select(id_col, vec_col, F.row_number().over(w).alias("rn"))
-        .where((F.col("rn") % stride == 1) | (F.lit(stride) == 1))
-        .limit(n_centroids)
-        .collect()
-    )
+    """Deterministic coarse centroids via ivf_centroid_seeds.  (A KMeans
+    refinement can replace this without touching the search path.)
+    Driver-side collect of n_centroids rows only."""
+    seeds = ivf_centroid_seeds(emb, n_centroids, id_col, vec_col).collect()
     return [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
 
 

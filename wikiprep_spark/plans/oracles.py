@@ -319,6 +319,32 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(inter/(sz_a+sz_b-inter), 6) AS jaccard
 FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.8
 """
+    # 16-bit SimHash dup groups: the Spark side hashes tokens with the
+    # md5-derived 60-bit integer (operators/dedup.simhash), whose bit b
+    # lives in hex digit 15 - b//4 (1-indexed) of the 15-char md5 prefix —
+    # directly recomputable per token in SQL, so the per-bit majority
+    # votes (ties -> 0, matching votes > 0 on the Spark side) and the
+    # final group-by reproduce the full pipeline bit-for-bit.
+    def _simhash_bit(b):
+        digit = (f"(strpos('0123456789abcdef', "
+                 f"substr(md5(tok), {15 - b // 4}, 1)) - 1)")
+        vote = (f"(CASE WHEN ({digit} // {1 << (b % 4)}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END)")
+        return (f"(CASE WHEN list_sum(list_transform(toks, tok -> {vote}))"
+                f" > 0 THEN {1 << b} ELSE 0 END)")
+
+    simhash_expr = "\n     + ".join(_simhash_bit(b) for b in range(16))
+    sql["dedup_simhash"] = f"""
+WITH t AS (
+  SELECT doc_id AS doc, list_distinct({toks}) AS toks FROM documents
+), h AS (
+  SELECT doc, {simhash_expr} AS simhash FROM t
+)
+SELECT simhash::BIGINT AS simhash, min(doc)::BIGINT AS representative_id,
+       count(*)::BIGINT AS n_docs
+FROM h GROUP BY simhash HAVING count(*) > 1
+"""
+
     # stopword-vote language id: same counts, same en<de<fr<es tie-break
     langs = {
         "en": en,
@@ -392,7 +418,10 @@ FROM (
     # inverted-file machinery end to end)
     sql["sim_ivf_topk"] = sql["sim_cosine_topk"]
 
-    # exact embedding near-dup pairs (same fold order as Spark -> bit-exact)
+    # exact embedding near-dup pairs (same fold order as Spark -> bit-exact).
+    # sim_near_dup runs the banded-LSH scale path in its recall-1
+    # configuration (24 one-plane bands), so the exact all-pairs SQL gates
+    # both it and the quadratic baseline.
     sql["sim_near_dup"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -405,6 +434,7 @@ SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b,
        round(cosine, 6) AS cosine
 FROM s WHERE cosine >= 0.35
 """
+    sql["sim_near_dup_exact"] = sql["sim_near_dup"]
     sql["sim_lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -83,20 +83,22 @@ def _write(df: DataFrame, path: str, partition_by=None) -> int | None:
 
 def lineage_src_df(src_pages: DataFrame) -> DataFrame:
     """Input-side lineage for the fused (two-pass) mode: the same
-    per-partition (rows, crc-of-sha256, bytes) triple computed entirely
-    JVM-side from the source table — sha2(content) equals the parse
-    stage's content_sha256, so checksums are comparable across modes."""
+    per-partition (rows, crc-of-sha256, raw record chars) triple computed
+    entirely JVM-side from the source table.  Cross-mode comparable with
+    lineage_df on every field, including malformed records: the parse
+    stage emits content_sha256 = sha256(raw record) even on parse errors
+    and carries record_chars = length(content)."""
     return (
         src_pages.select(
             F.spark_partition_id().alias("partition_id"),
             F.crc32(F.sha2("content", 256)).alias("crc"),
-            F.length("content").alias("text_chars"),
+            F.length("content").alias("record_chars"),
         )
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("rows"),
             F.sum("crc").alias("content_checksum"),
-            F.sum("text_chars").alias("byte_count"),
+            F.sum("record_chars").alias("byte_count"),
         )
     )
 
@@ -104,19 +106,21 @@ def lineage_src_df(src_pages: DataFrame) -> DataFrame:
 def lineage_df(parsed: DataFrame) -> DataFrame:
     """Per-input-partition lineage: row count plus an order-insensitive
     checksum over the content sha256 values (verifies the per-row content
-    invariant survives every re-run / resume).  Reads only the sha/length
-    columns so the lineage pass never re-decodes page text."""
+    invariant survives every re-run / resume).  byte_count sums the raw
+    record sizes (record_chars), matching lineage_src_df exactly.  Reads
+    only the sha/length columns so the lineage pass never re-decodes page
+    text."""
     return (
         parsed.select(
             F.spark_partition_id().alias("partition_id"),
             F.crc32(F.col("content_sha256")).alias("crc"),
-            F.col("text_chars"),
+            F.col("record_chars"),
         )
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("rows"),
             F.sum("crc").alias("content_checksum"),
-            F.sum("text_chars").alias("byte_count"),
+            F.sum("record_chars").alias("byte_count"),
         )
     )
 
@@ -211,9 +215,18 @@ def run_pipeline(
     n_dict_rows = None
     if work_dir:
         dicts_path = os.path.join(work_dir, "dicts_" + dict_mode)
-        if not (resume and _stage_done(
-                os.path.join(dicts_path, "title2id")
-                if dict_mode == "pruned" else dicts_path)):
+        # pruned mode writes three sub-tables (title2id, redir, templates);
+        # the stage only counts as finished when ALL of them carry a
+        # _SUCCESS marker — gating on the first-written one would let a
+        # crash between sub-writes masquerade as a completed stage
+        if dict_mode == "pruned":
+            dicts_done = all(
+                _stage_done(os.path.join(dicts_path, sub))
+                for sub in ("title2id", "redir", "templates")
+            )
+        else:
+            dicts_done = _stage_done(dicts_path)
+        if not (resume and dicts_done):
             n_dict_rows = writer(title2id, redirects, template_bodies,
                                  dicts_path)
     else:

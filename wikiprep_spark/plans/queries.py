@@ -299,9 +299,26 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 def sim_near_dup(spark, sf_dir):
-    # exact all-pairs baseline (the banded-LSH variant
-    # similarity.cosine_near_dup_pairs is the corpus-scale path; its
-    # recall-1 regime is unit-tested on clustered vectors)
+    # the SCALE path (banded hyperplane LSH + exact verify), gated in a
+    # provably-recall-1 configuration against the exact all-pairs oracle
+    # (the ivf full-probe trick): 24 one-plane bands at cos>=0.35 miss a
+    # qualifying pair only if its sign differs on ALL 24 hyperplanes —
+    # P <= (acos(0.35)/pi)^24 ~= 1.3e-10 per pair, < 1/n^2 far beyond the
+    # test corpus — so the LSH output equals the exact answer and the
+    # CORRECTNESS row exercises the bucketed plan.  Production uses
+    # multi-plane bands at high thresholds (the default 8x4 config).
+    pairs = similarity.cosine_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), dim=64, threshold=0.35,
+        bands=24, planes_per_band=1,
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def sim_near_dup_exact(spark, sf_dir):
+    # exact all-pairs baseline (quadratic; the correctness anchor the LSH
+    # path above is gated against)
     pairs = similarity.cosine_pairs_exact(
         _read(spark, sf_dir, "embeddings"), threshold=0.35
     )
@@ -350,5 +367,6 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_near_dup": sim_near_dup,
+    "sim_near_dup_exact": sim_near_dup_exact,
     "sim_ivf_topk": sim_ivf_topk,
 }

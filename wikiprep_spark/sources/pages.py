@@ -25,13 +25,13 @@ from wikiprep_spark.functions.titles import (
     normalize_title,
     page_namespace,
 )
-from wikiprep_spark.sources.mediawiki_xml import parse_page_record
+from wikiprep_spark.sources.mediawiki_xml import parse_page_record, sha256_hex
 
 PARSED_SCHEMA = (
     "seq string, page_id long, title string, title_norm string, ns string, "
     "timestamp string, text string, content_sha256 string, "
     "redirect_target string, ns_ok_prescan boolean, is_template boolean, "
-    "parse_error string, text_chars long"
+    "parse_error string, text_chars long, record_chars long"
 )
 
 
@@ -46,9 +46,13 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         try:
             rec = parse_page_record(content)
         except ValueError as exc:
+            # content_sha256 is still the sha of the raw record so the
+            # lineage checksum stays comparable with the JVM-side
+            # sha2(content) even on dirty dumps
             rows.append(
-                (seq, None, None, None, None, None, None, None, None,
-                 False, False, str(exc), 0)
+                (seq, None, None, None, None, None, None,
+                 sha256_hex(content), None, False, False, str(exc), 0,
+                 len(content))
             )
             continue
         title_norm = normalize_title(rec["title"], None, site)
@@ -71,6 +75,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 title_norm.startswith(tmpl_prefix),
                 None,
                 len(rec["text"] or ""),
+                len(content),
             )
         )
     return pd.DataFrame(
@@ -78,7 +83,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         columns=[
             "seq", "page_id", "title", "title_norm", "ns", "timestamp",
             "text", "content_sha256", "redirect_target", "ns_ok_prescan",
-            "is_template", "parse_error", "text_chars",
+            "is_template", "parse_error", "text_chars", "record_chars",
         ],
     )
 
