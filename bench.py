@@ -171,6 +171,18 @@ def main():
     retried: dict = {}
     total = 0.0
 
+    # warm-up OUTSIDE the measured window: spawn the python worker pool,
+    # JIT the hot JVM paths and compile the codegen kernels on a tiny
+    # corpus — a cold first pipeline run measures 2.5x its steady state
+    # (50s vs 19s at sf0.1), and steady-state throughput is the number
+    # comparable to the reference's long-running pages/s anchor
+    from wikiprep_spark.plans.pipeline import run_pipeline as _rp
+    from wikiprep_spark.sources.corpus import build_src_pages as _bsp
+
+    warm = _rp(spark, _bsp(spark, "/root/testdata/sf0.001", limit=60),
+               fuse_parse=False, persist=False)
+    warm["triples"].write.format("noop").mode("overwrite").save()
+
     _settle()  # don't start the measured window on a loaded host
 
     kg_wall, n_pages, n_triples, _ = run_kg_pipeline(spark, SF_DIR, REPLICATE)
@@ -186,19 +198,25 @@ def main():
     queries["kg_pipeline"] = round(kg_wall, 3)
     total += kg_wall
 
-    def noop_write(df):
-        return lambda: df.write.format("noop").mode("overwrite").save()
+    def run_query(name):
+        # construction INSIDE the measured window: iterative operators
+        # (pointer jumping / CC) execute their rounds eagerly via
+        # localCheckpoint during DataFrame construction
+        return lambda: QUERIES[name](spark, SF_DIR).write.format(
+            "noop").mode("overwrite").save()
 
     for name in BENCH_QUERIES:
-        df = QUERIES[name](spark, SF_DIR)
-        dt, r = _measure(noop_write(df), name, expected)
+        dt, r = _measure(run_query(name), name, expected)
         if r:
             retried[name] = r
         queries[name] = round(dt, 3)
         total += dt
 
+    def run_df(df):
+        return lambda: df.write.format("noop").mode("overwrite").save()
+
     for name, df in _bench_near_dedup(spark, SF_DIR).items():
-        dt, r = _measure(noop_write(df), name, expected)
+        dt, r = _measure(run_df(df), name, expected)
         if r:
             retried[name] = r
         queries[name] = round(dt, 3)

@@ -45,28 +45,63 @@ def _dup_losers(ids: DataFrame) -> DataFrame:
     )
 
 
-def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
-    """Duplicate-id losers computed ENTIRELY JVM-side from the raw source
-    table, with parse_page_record's exact id rule: the first <id> child of
-    the <page> element (of a bare record, or the <page> under a wrapping
-    root), null for records the python parser rejects.  from_xml in
-    PERMISSIVE mode nulls out malformed XML, so a garbage record that
-    merely *contains* "<id>N</id>" can never join the dup set and anti-join
-    away the validly-parsed page with that id (a regex extraction had
-    exactly that failure mode).  In the fused two-pass pipeline this keeps
-    the dup-id subquery from dragging a full python parse pass into every
-    job that consumes live_pages."""
+def _exact_page_id_col():
+    """parse_page_record's exact id rule as a JVM expression: the first
+    <id> child of the <page> element (of a bare record, or the <page>
+    under a wrapping root), NULL for records the python parser rejects —
+    from_xml in PERMISSIVE mode nulls out malformed XML."""
     x = F.expr("from_xml(content, 'id BIGINT, page STRUCT<id: BIGINT>')")
     root_tag = F.regexp_extract(
         "content", r"^\s*(?:<\?[^>]*\?>\s*)?<([A-Za-z_][\w.-]*)", 1
     )
-    # two-step projection so the XML parse runs ONCE per row (a collapsed
-    # single projection would inline the from_xml expression twice)
-    staged = src_pages.select(
-        x.alias("_x"),
-        root_tag.alias("_root"),
-        F.concat_ws("\x00", "repo", "path", "commit").alias("seq"),
+    return x, root_tag
+
+
+def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
+    """Duplicate-id losers computed ENTIRELY JVM-side from the raw source
+    table, in two phases (the 100 TB shape — duplicate ids are rare, so
+    exact work should touch only the records that might collide):
+
+    1. CANDIDATE scan: regexp_extract_all collects every literal
+       ``<id...>N</id>`` number per record (cheap codegen pass over the
+       corpus); a number seen in >= 2 records marks those records as
+       candidates.  This over-approximates: revision ids and garbage
+       records inflate the set but can never hide a real duplicate
+       (any parseable page's id appears literally in its record).
+    2. VERIFY parse: only candidate records get the full from_xml parse
+       with parse_page_record's exact id rule — malformed records null
+       out here, so a garbage record that merely *contains* "<id>N</id>"
+       can never join the dup set and anti-join away the validly-parsed
+       page with that id (a pure-regex extraction had exactly that
+       failure mode, and running from_xml over the whole corpus costs
+       ~2x the candidate scan).
+
+    In the fused two-pass pipeline this keeps the dup-id subquery from
+    dragging a full python parse pass into every job that consumes
+    live_pages."""
+    seq = F.concat_ws("\x00", "repo", "path", "commit").alias("seq")
+    cands = src_pages.select(
+        seq,
+        F.explode(
+            F.array_distinct(F.expr(
+                r"regexp_extract_all(content,"
+                r" '<id[^>]*>\\s*(\\d+)\\s*</id>', 1)"))
+        ).alias("cid"),
     )
+    dup_cand = (
+        cands.groupBy("cid").agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1).select("cid")
+    )
+    verify_seqs = (
+        cands.join(F.broadcast(dup_cand), "cid").select("seq").distinct()
+    )
+    x, root_tag = _exact_page_id_col()
+    # join BEFORE the parse projection: from_xml runs only on the
+    # candidate records (then a two-step select so it runs once per row)
+    survivors = src_pages.select(seq, "content").join(
+        F.broadcast(verify_seqs), "seq")
+    staged = survivors.select(
+        "seq", x.alias("_x"), root_tag.alias("_root"))
     ids = staged.select(
         F.when(F.col("_root") == "page", F.col("_x.id"))
         .otherwise(F.col("_x.page.id")).alias("page_id"),
