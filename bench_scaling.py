@@ -74,8 +74,14 @@ spark = build_session(app_name="wikiprep-scaling-%d" % cores,
                       shuffle_partitions={shuffle_partitions})
 spark.sparkContext.setLogLevel("ERROR")
 wd = tempfile.mkdtemp(prefix="wikiprep_scale_")
-t0 = time.time()
 src = spark.read.parquet({src!r})
+# warm-up outside the measured window (JIT, codegen, python worker pool):
+# both levels measure steady-state throughput, which is what a cluster
+# job of any length converges to
+run_pipeline(spark, src.limit(2000), resume=False, persist=False,
+             fuse_parse=True)["triples"].write.format("noop").mode(
+    "overwrite").save()
+t0 = time.time()
 result = run_pipeline(spark, src, work_dir=wd, resume=False,
                       fuse_parse=True)
 n_pages = result["_counts"]["transformed"]

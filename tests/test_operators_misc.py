@@ -578,6 +578,44 @@ def test_media_decode_in_spark(spark):
     assert all(len(r["feature"]) == 8 for r in got.values())
 
 
+def test_bpe_token_count(spark, docs):
+    from wikiprep_spark.operators import textops
+
+    got = {r["doc_id"]: r for r in
+           textops.bpe_token_count(docs).collect()}
+    df2 = spark.createDataFrame(
+        [(100, "It's 42 degrees — really?!")], "doc_id long, text string")
+    r = textops.bpe_token_count(df2).first()
+    # It|'s| 42| degrees| —| really|?!  -> 7 pre-tokens
+    assert r["n_bpe_tokens"] == 7
+    assert r["n_ws_tokens"] == 5
+    assert all(v["n_bpe_tokens"] >= v["n_ws_tokens"] for v in got.values())
+
+
+def test_winnow_fingerprints_property(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 (= 11 at k=8, w=4) share at least one fingerprint;
+    unrelated documents share none."""
+    from wikiprep_spark.operators import textops
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC dddd " + shared + " eeee"),
+            (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = textops.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # shared run -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # unrelated -> disjoint
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_shingle_dedup(spark, docs):
     from pyspark.sql import functions as F
 

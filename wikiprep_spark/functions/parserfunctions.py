@@ -31,9 +31,19 @@ def language_name(code: str) -> str:
     (languages.pm:349-360). Table data from MediaWiki languages/Names.php."""
     global _LANG_NAMES
     if _LANG_NAMES is None:
-        path = os.path.join(os.path.dirname(__file__), "language_names.json")
-        with open(path, encoding="utf-8") as fh:
-            _LANG_NAMES = json.load(fh)
+        try:
+            # zip-safe: on a cluster the package arrives via
+            # spark-submit --py-files and loads through zipimport
+            from importlib import resources
+
+            _LANG_NAMES = json.loads(
+                resources.files("wikiprep_spark.functions")
+                .joinpath("language_names.json").read_text("utf-8"))
+        except Exception:
+            path = os.path.join(os.path.dirname(__file__),
+                                "language_names.json")
+            with open(path, encoding="utf-8") as fh:
+                _LANG_NAMES = json.load(fh)
     name = _LANG_NAMES.get(code)
     return name if name is not None else code
 

@@ -93,6 +93,70 @@ def lang_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so it behaves
+# identically under Java regex (Spark) and RE2 (DuckDB): contractions,
+# optional-space letter runs, optional-space digit runs, optional-space
+# punctuation runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(docs: DataFrame, id_col="doc_id",
+                    text_col="text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_ws_tokens): BPE-ish pre-tokenizer count —
+    the token-budget estimate an LLM data pipeline runs over every
+    document — next to the plain whitespace count.  Pure codegen
+    (regexp_extract_all + size), no shuffle."""
+    toks = F.split(normalized_text(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+        )).cast("long").alias("n_bpe_tokens"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _hash60_sql(expr: str) -> str:
+    """Spark-SQL string for the md5-derived 60-bit hash of ``expr`` (the
+    cross-engine hash shared with dictload/simhash)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def winnow_fingerprints(docs: DataFrame, id_col="doc_id", text_col="text",
+                        k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): hash every character k-gram of the normalized text,
+    slide a ``window`` over the hash sequence, keep each window's minimum,
+    emit the distinct selected hashes as (doc_id, fp) rows.
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint — the standard
+    local-similarity blocking key for plagiarism/near-dup detection at
+    corpus scale.  Everything is higher-order-function expressions over
+    the text column (no shuffle, no UDF); the k-gram hash is the
+    cross-engine md5-60bit, so the DuckDB oracle reproduces the exact
+    fingerprint set."""
+    gram = _hash60_sql(f"substring(_wnorm, i, {k})")
+    hashes = (
+        f"transform(sequence(1, greatest(length(_wnorm) - {k} + 1, 1)),"
+        f" i -> {gram})"
+    )
+    minima = (
+        f"transform(sequence(1, greatest(size(_whash) - {window} + 1, 1)),"
+        f" j -> array_min(slice(_whash, j, {window})))"
+    )
+    return (
+        docs.select(F.col(id_col),
+                    normalized_text(text_col).alias("_wnorm"))
+        .select(F.col(id_col), F.expr(hashes).alias("_whash"))
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(F.expr(minima))).alias("fp"))
+    )
+
+
 def fingerprint(docs: DataFrame, id_col="doc_id",
                 text_col="text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact identity)

@@ -259,6 +259,44 @@ SELECT doc_id::BIGINT AS doc_id, md5({norm}) AS fingerprint,
          AS shape_key
 FROM documents
 """
+    # BPE-ish pre-tokenizer count: the pattern is lookahead-free, so Java
+    # regex (Spark) and RE2 (DuckDB) produce identical token streams
+    from wikiprep_spark.operators.textops import BPE_PRETOKEN_PATTERN
+
+    bpe_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    sql["text_bpe_tokens"] = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '{bpe_pat}', 0))::BIGINT
+         AS n_bpe_tokens,
+       len({toks})::BIGINT AS n_ws_tokens
+FROM documents
+"""
+    # winnowing fingerprints (k=8, window=4): exact SQL twin — k-gram
+    # md5-60bit hashes (hex fold), sliding-window minima, distinct
+    _WK, _WW = 8, 4
+    hex_fold = ("list_reduce(list_transform(generate_series(1, 15), "
+                "q -> strpos('0123456789abcdef', substr(gmd5, q, 1)) - 1), "
+                "(a, b) -> a * 16 + b)")
+    sql["text_winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {norm} AS tnorm FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(
+           1, greatest(length(tnorm) - {_WK} + 1, 1))) AS i, tnorm
+  FROM t
+), gh AS (
+  SELECT doc_id, i, {hex_fold} AS h
+  FROM (SELECT doc_id, i, md5(substr(tnorm, i, {_WK})) AS gmd5 FROM g)
+), hs AS (
+  SELECT doc_id, list(h ORDER BY i) AS hs FROM gh GROUP BY doc_id
+), m AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - {_WW} + 1, 1)),
+           j -> list_min(hs[j:j + {_WW} - 1]))) AS fps
+  FROM hs
+)
+SELECT doc_id::BIGINT AS doc_id, unnest(fps)::BIGINT AS fp FROM m
+"""
     sql["text_quality"] = f"""
 WITH b AS (
   SELECT doc_id::BIGINT AS doc_id, {norm} AS t, {toks} AS w FROM documents

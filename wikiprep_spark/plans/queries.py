@@ -277,6 +277,14 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def text_bpe_tokens(spark, sf_dir):
+    return textops.bpe_token_count(_read(spark, sf_dir, "documents"))
+
+
+def text_winnow_fingerprints(spark, sf_dir):
+    return textops.winnow_fingerprints(_read(spark, sf_dir, "documents"))
+
+
 def text_lang_id(spark, sf_dir):
     return textops.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -363,6 +371,8 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
     "text_lang_id": text_lang_id,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
