@@ -578,6 +578,32 @@ def test_media_decode_in_spark(spark):
     assert all(len(r["feature"]) == 8 for r in got.values())
 
 
+def test_ivf_kmeans_refine(spark):
+    """Lloyd refinement: (a) bit-identical centroids under ANY input
+    partitioning (the decimal-accumulation determinism claim — float sums
+    would diverge), (b) the spherical-kmeans objective does not get worse,
+    (c) empty clusters keep their previous centroid."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = similarity.ivf_centroids(emb, 4)
+
+    a = similarity.ivf_kmeans_refine(emb.repartition(3), seeds, n_iters=2)
+    b = similarity.ivf_kmeans_refine(emb.repartition(7), seeds, n_iters=2)
+    assert a == b  # exact equality, not approx
+
+    before = similarity.ivf_inertia(emb, seeds)
+    after = similarity.ivf_inertia(emb, a)
+    assert after <= before + 1e-12
+
+    # a centroid no vector chooses survives refinement unchanged: cosine
+    # is scale-invariant, so 2x seed 0 ties with seed 0 on every vector
+    # (power-of-two scaling is FP-exact) and the lower centroid id wins
+    # the tie -> centroid 99 gets zero members
+    dup = [x * 2 for x in seeds[0][1]]
+    refined = dict(similarity.ivf_kmeans_refine(emb, seeds + [(99, dup)],
+                                                n_iters=1))
+    assert refined[99] == dup
+
+
 def test_bpe_token_count(spark, docs):
     from wikiprep_spark.operators import textops
 

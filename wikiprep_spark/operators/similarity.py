@@ -298,6 +298,56 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, id_col="vec_id",
     return [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
 
 
+def ivf_kmeans_refine(emb: DataFrame, centroids: list, n_iters: int = 2,
+                      id_col="vec_id", vec_col="embedding") -> list:
+    """Lloyd's refinement of the IVF coarse centroids, distributed and
+    DETERMINISTIC: assignment is the literal-quantizer projection (no
+    join, no shuffle), and the update step is ONE groupBy(centroid) whose
+    per-dimension sums accumulate as decimal(30,12) — float summation
+    order varies with partitioning, decimal does not, so the refined
+    centroids are bit-identical under any repartitioning (unit-tested).
+    Per iteration the driver collects n_centroids rows of dim sums; empty
+    clusters keep their previous centroid.  The search path is untouched:
+    refined centroids feed the same ivf_assign literal quantizer."""
+    dim = len(centroids[0][1])
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(n_iters):
+        assign = ivf_assign(emb, centroids, id_col, vec_col, n_probe=1)
+        joined = (
+            emb.select(F.col(id_col).alias("id"), v.alias("v"))
+            .join(assign.select("id", "centroid"), "id")
+        )
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(F.element_at("v", d + 1).cast("decimal(30,12)"))
+            .alias("s%d" % d)
+            for d in range(dim)
+        ]
+        by_c = {r["centroid"]: r
+                for r in joined.groupBy("centroid").agg(*aggs).collect()}
+        centroids = [
+            (cid,
+             [float(by_c[cid]["s%d" % d] / by_c[cid]["n"])
+              for d in range(dim)]
+             if cid in by_c and by_c[cid]["n"] else old)
+            for cid, old in centroids
+        ]
+    return centroids
+
+
+def ivf_inertia(emb: DataFrame, centroids: list, id_col="vec_id",
+                vec_col="embedding") -> float:
+    """Mean cosine distance (1 - cos) of every vector to its nearest
+    centroid — the spherical-kmeans objective the refinement minimizes."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.greatest(*[
+        _dot(v, F.array(*[F.lit(float(x)) for x in cvec]))
+        / (_norm(v) * _norm(F.array(*[F.lit(float(x)) for x in cvec])))
+        for _, cvec in centroids
+    ])
+    row = emb.select(F.avg(F.lit(1.0) - best).alias("inertia")).first()
+    return float(row["inertia"])
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

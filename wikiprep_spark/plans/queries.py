@@ -298,12 +298,16 @@ def sim_cosine_topk(spark, sf_dir):
 def sim_ivf_topk(spark, sf_dir):
     # IVF with n_probe == n_centroids is exhaustive search routed through
     # the inverted-file machinery (coarse quantizer, per-list join, merge
-    # + re-rank), so the exact-top-k SQL gates the whole path; production
-    # uses n_probe << n_centroids (unit-tested subset semantics)
+    # + re-rank), so the exact-top-k SQL gates the whole path — here
+    # INCLUDING the distributed kmeans bootstrap (seed sample -> 2 Lloyd
+    # iterations with exact decimal accumulation); production uses
+    # n_probe << n_centroids (unit-tested subset semantics)
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return similarity.ivf_cosine_topk(emb, queries, k=5, n_centroids=8,
-                                      n_probe=8)
+    centroids = similarity.ivf_kmeans_refine(
+        emb, similarity.ivf_centroids(emb, 8), n_iters=2)
+    return similarity.ivf_cosine_topk(emb, queries, k=5, n_probe=8,
+                                      centroids=centroids)
 
 
 def sim_near_dup(spark, sf_dir):
