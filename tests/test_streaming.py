@@ -139,6 +139,63 @@ def test_dictionary_refresh_cycle(spark, tmp_path):
     assert merged.groupBy("page_id").count().where("count > 1").count() == 0
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup == batch dedup on the same input: one survivor per
+    distinct normalized content, duplicates dropped across micro-batches
+    (state carries between triggers)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    # duplicate every doc's content under a different id; spread over
+    # several files so duplicates land in different micro-batches
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text",
+                      "lang", "source", "n_chars")
+    src_dir = str(tmp_path / "docs")
+    docs.unionByName(dup).repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src_dir)
+    out = str(tmp_path / "out")
+    q = (
+        ingest.streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    n_distinct = docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    ).distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("content_md5").distinct().count() == n_distinct
+
+    # bounded-state variant: duplicates arriving inside the watermark
+    # horizon drop via dropDuplicatesWithinWatermark state
+    ts_dir = str(tmp_path / "docs_ts")
+    (spark.read.parquet(src_dir)
+     .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                 + F.make_interval(secs=F.col("doc_id") % 100))
+     .repartition(4).write.parquet(ts_dir))
+    stream_ts = spark.readStream.schema(
+        spark.read.parquet(ts_dir).schema).option(
+        "maxFilesPerTrigger", 1).parquet(ts_dir)
+    out2 = str(tmp_path / "out2")
+    q2 = (
+        ingest.streaming_exact_dedup(stream_ts, ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2w"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out2).count() == n_distinct
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ev_dir = str(tmp_path / "events")

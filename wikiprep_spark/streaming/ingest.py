@@ -59,6 +59,33 @@ def start_edge_sink(transformed: DataFrame, out_dir: str,
     return writer.start()
 
 
+def streaming_exact_dedup(docs_stream: DataFrame, id_col="doc_id",
+                          text_col="text", ts_col: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first-seen row per normalized-content hash
+    survives, later arrivals are dropped — the batch exact_dedup operator
+    re-expressed with streaming state.
+
+    With ``ts_col`` the state is BOUNDED via
+    dropDuplicatesWithinWatermark: a duplicate arriving within the
+    watermark horizon of its first sighting is dropped, and the hash's
+    state is evicted once the watermark passes it — the only way a
+    content-keyed dedup survives an unbounded stream.  Without ``ts_col``
+    the state grows with the number of distinct documents (exact global
+    dedup; use only on finite backlogs)."""
+    from wikiprep_spark.operators.dedup import normalized_text
+
+    keyed = docs_stream.withColumn(
+        "content_md5", F.md5(normalized_text(text_col)))
+    if ts_col is not None:
+        keyed = keyed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return (
+            keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"])
+        )
+    return keyed.dropDuplicates(["content_md5"])
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           watermark: str = "1 hour",
                           window: str = "1 hour") -> DataFrame:
