@@ -196,6 +196,80 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert spark.read.parquet(out2).count() == n_distinct
 
 
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch lag-window
+    twin, with state carried ACROSS micro-batches (events arrive in
+    time-ordered chunks; a session spanning a chunk boundary must not
+    split)."""
+    GAP = 3600
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_sec"))
+
+    # batch twin: lag-window session ids; closed sessions = all but each
+    # user's last
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(F.lag("ts_sec").over(w).isNull()
+               | (F.col("ts_sec") - F.lag("ts_sec").over(w) > GAP), 1)
+        .otherwise(0))
+    sess = (
+        flagged.withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_sec").alias("session_start"),
+             F.max("ts_sec").alias("session_end"),
+             F.count("*").alias("n_events"))
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    closed_batch = {
+        tuple(r) for r in sess.join(last_sid, "user_id")
+        .where(F.col("sid") != F.col("last_sid"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert closed_batch  # the fixture really contains multi-session users
+
+    # stream: 3 time-range chunks written SEQUENTIALLY (FileStreamSource
+    # orders files by modification time, so one multi-file write gives an
+    # arbitrary arrival order) -> 3 micro-batches in event-time order,
+    # which is the operator's arrival-order contract
+    import time as _time
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    b1, b2 = [int(x) for x in raw.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as long), "
+        "array(0.33, 0.66))").first()[0]]
+    ev_dir = str(tmp_path / "ev")
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    chunks = [
+        raw.where(ts_long <= b1),
+        raw.where((ts_long > b1) & (ts_long <= b2)),
+        raw.where(ts_long > b2),
+    ]
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(ev_dir)
+        _time.sleep(1.2)  # distinct mtimes -> deterministic arrival order
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema).option(
+        "maxFilesPerTrigger", 1).parquet(ev_dir)
+    out = str(tmp_path / "sess_out")
+    q = (
+        ingest.sessionize_events(stream, gap_seconds=GAP)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == closed_batch
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ev_dir = str(tmp_path / "events")

@@ -86,6 +86,65 @@ def streaming_exact_dedup(docs_stream: DataFrame, id_col="doc_id",
     return keyed.dropDuplicates(["content_md5"])
 
 
+def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
+                      user_col="user_id", ts_col="ts") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user SESSIONIZATION with gap semantics — a session is a maximal
+    run of one user's events with consecutive gaps <= gap_seconds.
+
+    Per-key state is the open session (start, last_ts, n_events), carried
+    across micro-batches; a session is emitted the moment a later event
+    breaks the gap.  The open tail session stays in state (it can still
+    grow), so the emitted rows are exactly the CLOSED sessions — the
+    batch twin in tests/test_streaming.py computes the same thing with a
+    lag-window and must agree row-for-row.  State is one small tuple per
+    active user: bounded, shuffle only on user_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id long, session_start long, session_end long, "
+                  "n_events long")
+    state_schema = "start long, last long, n long"
+
+    def func(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts_sec"])
+        ts.sort()
+        closed = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_seconds:
+                last, n = t, n + 1
+            else:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start",
+                                 "session_end", "n_events"])
+
+    from pyspark.sql import functions as F2
+
+    return (
+        events_stream
+        .select(F2.col(user_col).alias("user_id"),
+                F2.col(ts_col).cast("timestamp").cast("long")
+                .alias("ts_sec"))
+        .groupBy("user_id")
+        .applyInPandasWithState(func, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           watermark: str = "1 hour",
                           window: str = "1 hour") -> DataFrame:
