@@ -154,6 +154,19 @@ def cheap_targets(spark, sf=SF):
             {"max_shuffles": 0, "forbid": ["BatchEvalPython",
                                            "ArrowEvalPython"]},
         ),
+        # BPE pre-tokenizer count: codegen-only projection
+        "text_bpe_tokens": (
+            Q.text_bpe_tokens(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
+        # winnowing: rolling hashes + window minima as HOF expressions —
+        # per-row compute, no shuffle, no python
+        "text_winnow_fingerprints": (
+            Q.text_winnow_fingerprints(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
     }
 
 
@@ -195,6 +208,11 @@ def main():
         "sim_ivf_topk": "literal coarse quantizer, centroid-key shuffle, "
             "queries broadcast",
         "text_quality": "pure whole-stage-codegen projection, zero "
+            "shuffles, zero UDFs",
+        "text_bpe_tokens": "regexp pre-tokenizer count: codegen-only "
+            "projection, zero shuffles",
+        "text_winnow_fingerprints": "winnowing (k-gram rolling hash + "
+            "window minima) as HOF expressions: per-row compute, zero "
             "shuffles, zero UDFs",
     }
 
