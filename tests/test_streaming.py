@@ -269,6 +269,34 @@ def test_sessionize_events_stateful(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == closed_batch
 
+    # event-time-timeout variant: tail sessions flush once the watermark
+    # passes last_ts + gap and their state is removed, so the emitted set
+    # is ALL sessions whose end + gap <= the global max event time (a
+    # closed session's end precedes its successor by > gap, so closed
+    # sessions are a subset) — bounded state on unbounded streams
+    out_t = str(tmp_path / "sess_out_t")
+    q2 = (
+        ingest.sessionize_events(stream, gap_seconds=GAP,
+                                 emit_timeouts=True)
+        .writeStream.format("parquet")
+        .option("path", out_t)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt_t"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    max_ts = events.agg(F.max("ts_sec")).first()[0]
+    expected_t = {
+        tuple(r) for r in sess
+        .where(F.col("session_end") + GAP <= max_ts)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    got_t = {tuple(r) for r in spark.read.parquet(out_t).collect()}
+    assert got_t == expected_t
+    assert len(got_t) > len(closed_batch)  # tail sessions flushed too
+
 
 def test_windowed_event_counts_stream(spark, tmp_path):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")

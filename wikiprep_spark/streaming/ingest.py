@@ -87,27 +87,38 @@ def streaming_exact_dedup(docs_stream: DataFrame, id_col="doc_id",
 
 
 def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
-                      user_col="user_id", ts_col="ts") -> DataFrame:
+                      user_col="user_id", ts_col="ts",
+                      emit_timeouts: bool = False,
+                      watermark: str = "0 seconds") -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user SESSIONIZATION with gap semantics — a session is a maximal
     run of one user's events with consecutive gaps <= gap_seconds.
 
     Per-key state is the open session (start, last_ts, n_events), carried
     across micro-batches; a session is emitted the moment a later event
-    breaks the gap.  The open tail session stays in state (it can still
-    grow), so the emitted rows are exactly the CLOSED sessions — the
-    batch twin in tests/test_streaming.py computes the same thing with a
-    lag-window and must agree row-for-row.  State is one small tuple per
-    active user: bounded, shuffle only on user_id."""
+    breaks the gap.  With ``emit_timeouts=False`` the open tail session
+    stays in state forever (emitted rows == CLOSED sessions; the batch
+    lag-window twin in tests/test_streaming.py must agree row-for-row).
+    With ``emit_timeouts=True`` the operator also registers an EVENT-TIME
+    TIMEOUT at last_ts + gap: when the watermark passes it, the open
+    session flushes and its state is REMOVED — bounded state on unbounded
+    streams, and every session eventually emits exactly once.  State is
+    one small tuple per active user; shuffle only on user_id."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = ("user_id long, session_start long, session_end long, "
                   "n_events long")
     state_schema = "start long, last long, n long"
+    cols = ["user_id", "session_start", "session_end", "n_events"]
 
     def func(key, pdfs, state):
         (user_id,) = key
+        if emit_timeouts and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, last, n)], columns=cols)
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -127,21 +138,26 @@ def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
                 start, last, n = t, t, 1
         if start is not None:
             state.update((start, last, n))
+            if emit_timeouts:
+                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
         if closed:
-            yield pd.DataFrame(
-                closed, columns=["user_id", "session_start",
-                                 "session_end", "n_events"])
+            yield pd.DataFrame(closed, columns=cols)
 
     from pyspark.sql import functions as F2
 
+    keyed = events_stream.select(
+        F2.col(user_col).alias("user_id"),
+        F2.col(ts_col).cast("timestamp").alias("ts"),
+    ).withColumn("ts_sec", F2.col("ts").cast("long"))
+    if emit_timeouts:
+        keyed = keyed.withWatermark("ts", watermark)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
     return (
-        events_stream
-        .select(F2.col(user_col).alias("user_id"),
-                F2.col(ts_col).cast("timestamp").cast("long")
-                .alias("ts_sec"))
-        .groupBy("user_id")
+        keyed.groupBy("user_id")
         .applyInPandasWithState(func, out_schema, state_schema,
-                                "append", GroupStateTimeout.NoTimeout)
+                                "append", timeout_conf)
     )
 
 
