@@ -578,6 +578,26 @@ def test_media_decode_in_spark(spark):
     assert all(len(r["feature"]) == 8 for r in got.values())
 
 
+def test_near_dup_groups(spark):
+    """Dedup decisions: transitively-linked near-dups collapse to one
+    min-id representative; unique docs represent themselves."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),       # dup of 1
+            (3, "alpha beta gamma delta epsilon"),  # near-dup of 1/2
+            (9, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.near_dup_groups(
+        docs, threshold=0.8).collect()}
+    assert got[1]["representative_id"] == 1 and not got[1]["is_duplicate"]
+    assert got[2]["representative_id"] == 1 and got[2]["is_duplicate"]
+    assert got[3]["representative_id"] == 1 and got[3]["is_duplicate"]
+    assert got[9]["representative_id"] == 9 and not got[9]["is_duplicate"]
+
+
 def test_ivf_kmeans_refine(spark):
     """Lloyd refinement: (a) bit-identical centroids under ANY input
     partitioning (the decimal-accumulation determinism claim — float sums

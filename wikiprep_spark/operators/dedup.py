@@ -293,6 +293,50 @@ def minhash_lsh_bucket_stats(
     return stats.withColumn("dropped", dropped)
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    num_hashes=32,
+    bands=16,
+    threshold=0.8,
+    shingle: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The dedup DECISION operator: MinHash+LSH verified pairs -> connected
+    components -> one representative per duplicate cluster.  Returns
+    (doc_id, representative_id, is_duplicate) for EVERY document —
+    ``is_duplicate`` rows are what a curation pipeline drops.
+
+    Near-duplicacy is not transitive, so clustering the pair graph is a
+    policy choice; components with min-id representatives is the standard
+    one (what most corpus-dedup pipelines ship) and is reproducible in
+    SQL, so the whole operator — signatures, banding, verification,
+    clustering, representative choice — sits under one exact oracle.
+    Scale shape: the pair join is the LSH machinery above; the clustering
+    is O(log diameter) label-propagation rounds over the (tiny) pair
+    graph, not the corpus."""
+    from wikiprep_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
+                              threshold, shingle, max_bucket)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id"))
+            .alias("representative_id"),
+            (F.coalesce("component", F.col("doc_id")) != F.col("doc_id"))
+            .alias("is_duplicate"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text",
             bits=16) -> DataFrame:
     """(doc, simhash) 16-bit SimHash over token hashes: per-bit majority

@@ -357,6 +357,36 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(inter/(sz_a+sz_b-inter), 6) AS jaccard
 FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.8
 """
+    # near-dup DECISION groups: the exact pair graph (== the verified LSH
+    # output in the provably-exhaustive band config), its undirected
+    # transitive closure via a recursive CTE, min reachable node as the
+    # component representative; unpaired documents represent themselves
+    sql["dedup_near_groups"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS doc, list_distinct({toks}) AS toks FROM documents
+), e0 AS (
+  SELECT doc, unnest(toks) AS tok, len(toks) AS sz FROM t
+), p AS (
+  SELECT l.doc AS doc_a, r.doc AS doc_b, count(*)::BIGINT AS inter,
+         any_value(l.sz) AS sz_a, any_value(r.sz) AS sz_b
+  FROM e0 l JOIN e0 r USING (tok) WHERE l.doc < r.doc
+  GROUP BY l.doc, r.doc
+), pairs AS (
+  SELECT doc_a, doc_b FROM p WHERE inter/(sz_a+sz_b-inter) >= 0.8
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_id, doc_id FROM documents
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+)
+SELECT a::BIGINT AS doc_id, min(b)::BIGINT AS representative_id,
+       (min(b) <> a) AS is_duplicate
+FROM reach GROUP BY a
+"""
+
     # 16-bit SimHash dup groups: the Spark side hashes tokens with the
     # md5-derived 60-bit integer (operators/dedup.simhash), whose bit b
     # lives in hex digit 15 - b//4 (1-indexed) of the 15-char md5 prefix —

@@ -265,6 +265,17 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_dup_groups(_read(spark, sf_dir, "documents"))
 
 
+def dedup_near_groups(spark, sf_dir):
+    # the dedup DECISION surface: LSH pairs (provably-exhaustive band
+    # config, same as dedup_minhash_lsh) -> connected components -> min-id
+    # representative per cluster; the oracle recomputes the exact pair
+    # graph and its components with a recursive closure in SQL
+    return dedup.near_dup_groups(
+        _read(spark, sf_dir, "documents"),
+        num_hashes=32, bands=16, threshold=0.8,
+    )
+
+
 def text_token_stats(spark, sf_dir):
     return textops.token_stats(_read(spark, sf_dir, "documents"))
 
@@ -371,6 +382,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_jaccard": dedup_token_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_near_groups": dedup_near_groups,
     "dedup_simhash": dedup_simhash,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
