@@ -388,6 +388,12 @@ def test_dup_losers_from_src_equivalence(spark):
         # wrapped record (valid; parser unwraps to the inner <page>)
         ("!wrap", "w.xml", "c0", "wikitext",
          "<mediawiki>" + _row(1005, "Dup W", "text w")[4] + "</mediawiki>"),
+        # DOUBLY-wrapped record: both the python parser (one wrapping
+        # level only) and the JVM from_xml id rule must reject it —
+        # if only one path did, the dup sets would diverge (ADVICE r4)
+        ("!wrap2", "w.xml", "c0", "wikitext",
+         "<export><mediawiki>" + _row(1005, "Dup W2", "text w2")[4]
+         + "</mediawiki></export>"),
     ]
     dup = spark.createDataFrame(
         dup_rows,
@@ -679,3 +685,95 @@ def test_shingle_dedup(spark, docs):
     t = {r["doc"]: set(r["toks"]) for r in toks}
     inter = len(t[0] & t[3]) / len(t[0] | t[3])
     assert inter < 0.2
+
+
+def test_extract_features_malformed_payloads_degrade_to_corrupt(spark):
+    """ADVICE r4: malformed payloads that drive the stdlib decoders into
+    zlib.error / struct.error / KeyError must emit decode_status='corrupt'
+    rows, never crash the Spark task."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_ok = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payloads = [
+        # CRC-valid chunks, but IDAT fails inflate -> zlib.error
+        (1, sig + chunk(b"IHDR", ihdr_ok) + chunk(b"IDAT", b"notzlib")
+         + chunk(b"IEND", b"")),
+        # IHDR declared with a 4-byte body -> struct.error in unpack
+        (2, sig + chunk(b"IHDR", b"\x00" * 4) + chunk(b"IEND", b"")),
+        # color type 9 (outside the PNG spec) -> KeyError on channels
+        (3, sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 9, 0, 0, 0))
+         + chunk(b"IEND", b"")),
+        # WAV fmt chunk shorter than 16 bytes -> struct.error
+        (4, b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+         + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4),
+        # CRC mismatch -> the deliberate ValueError path still works
+        (5, sig + (lambda c: c[:-1] + bytes([c[-1] ^ 0xFF]))(
+            chunk(b"IHDR", ihdr_ok)) + chunk(b"IEND", b"")),
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in payloads],
+        "item_id long, media_type string, payload binary")
+    media = df.select(
+        "item_id", "media_type", "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"))
+    got = {r["item_id"]: r for r in
+           multimodal.extract_features(media).collect()}
+    assert len(got) == 5
+    for i in got:
+        assert got[i]["decode_status"] == "corrupt", i
+        assert got[i]["feature"] is None
+
+
+def test_dup_losers_literal_id_forms(spark):
+    """ADVICE r4: '<id>007</id>' and '<id>7</id>' are the SAME page id
+    under the int() rule of both parsers; the candidate scan must group
+    numerically (bigint cast) or the duplicate escapes detection."""
+    from wikiprep_spark.operators import prescan as P
+    from wikiprep_spark.sources.pages import parse_pages
+
+    def rec(id_literal, title, body):
+        return ("<page><title>%s</title><id>%s</id><revision>"
+                "<timestamp>2008-01-01T00:00:00Z</timestamp>"
+                "<text>%s</text></revision></page>"
+                % (title, id_literal, body))
+
+    src = spark.createDataFrame(
+        [("r", "a.xml", "c1", "wikitext", rec("007", "Padded", "a")),
+         ("r", "b.xml", "c2", "wikitext", rec("7", "Bare", "b")),
+         ("r", "c.xml", "c3", "wikitext", rec("8", "Other", "c"))],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    parsed = parse_pages(src)
+    via_parse = {tuple(r) for r in P.live_pages(parsed)
+                 .select("page_id", "seq").collect()}
+    via_src = {tuple(r) for r in P.live_pages(
+        parsed, P.dup_losers_from_src(src)).select("page_id", "seq")
+        .collect()}
+    assert via_parse == via_src
+    assert sum(1 for pid, _ in via_src if pid == 7) == 1  # dup caught
+    assert sum(1 for pid, _ in via_src if pid == 8) == 1
+
+
+def test_parse_page_record_single_wrap_only():
+    """The python parser accepts exactly one wrapping element — matching
+    what the JVM-side from_xml id rule can see (id | page.id)."""
+    from wikiprep_spark.sources.mediawiki_xml import (
+        make_page_xml, parse_page_record)
+
+    inner = make_page_xml(42, "T", "body")
+    assert parse_page_record(inner)["id"] == 42
+    assert parse_page_record(
+        "<mediawiki>%s</mediawiki>" % inner)["id"] == 42
+    with pytest.raises(ValueError):
+        parse_page_record(
+            "<export><mediawiki>%s</mediawiki></export>" % inner)

@@ -332,3 +332,65 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     assert got_set  # watermark passed at least some windows
     for ws, et, n in got_set:
         assert batch_map[(ws, et)] == n
+
+
+def test_sessionize_cross_batch_disorder(spark, tmp_path):
+    """ADVICE r4: a late-but-within-watermark event older than the stored
+    session frontier must fold into the open session (or emit as its own
+    elapsed singleton) WITHOUT decreasing session_end, and the re-armed
+    event-time timeout must never land at or below the watermark (Spark
+    rejects that with a query-killing error)."""
+    import time as _time
+
+    GAP = 60
+
+    def write_chunk(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ev"))
+        _time.sleep(1.2)  # distinct mtimes -> deterministic arrival order
+
+    import datetime as dt
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec)
+
+    # chunk 1: user 1 session frontier at 1030; user 2 drives max event
+    # time so the watermark advances independently of user 1
+    write_chunk([(1, t(1000)), (1, t(1030)), (2, t(5000))])
+    # chunk 2: two DISORDERED user-1 events (older than last=1030, inside
+    # the 2h watermark): 950 touches the open session (>= start-gap) and
+    # folds in, extending start backwards; 800 is > gap before start ->
+    # elapsed singleton
+    write_chunk([(1, t(950)), (1, t(800))])
+    # chunk 3: gap-breaking event closes the folded session
+    write_chunk([(1, t(10000)), (2, t(10000))])
+
+    ev_schema = "user_id long, ts timestamp"
+    for emit_timeouts, ck in ((False, "c1"), (True, "c2")):
+        stream = spark.readStream.schema(ev_schema).option(
+            "maxFilesPerTrigger", 1).parquet(str(tmp_path / "ev"))
+        out = str(tmp_path / ("out_" + ck))
+        q = (
+            ingest.sessionize_events(stream, gap_seconds=GAP,
+                                     emit_timeouts=emit_timeouts,
+                                     watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + ck)))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None  # the clamp: no timeout <= watermark
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        base = int(t(0).timestamp())
+        # session_end stayed 1030 (never decreased by the late 950);
+        # start extended back to 950; the very-late 800 is a singleton;
+        # user 2's first session closed on its own gap break.  Final
+        # watermark = 10000 - 7200 < every last+gap -> no tail flush, so
+        # this is the complete emitted set for both variants.
+        assert got == {(1, base + 950, base + 1030, 3),
+                       (1, base + 800, base + 800, 1),
+                       (2, base + 5000, base + 5000, 1)}

@@ -142,11 +142,23 @@ def cheap_targets(spark, sf=SF):
              "forbid": ["Exchange SinglePartition", "Window"]},
         ),
         # IVF search: literal quantizer (no join for assignment), centroid
-        # shuffle key, queries broadcast
+        # shuffle key, queries broadcast; the only sort-merge-eligible join
+        # is the broadcast bucket join, so zero SMJ and no id-keyed
+        # assignment join anywhere
         "sim_ivf_topk": (
             similarity.ivf_cosine_topk(emb, emb_q, k=5, n_centroids=4,
                                        n_probe=2),
             {"min_broadcast": 1},
+        ),
+        # one Lloyd update step: assignment inlined as a projection on the
+        # vector frame — exactly one exchange (the aggregation's own), no
+        # join of any kind (round 3 shuffled the corpus id-keyed here)
+        "ivf_refine_step": (
+            similarity.ivf_refine_step(
+                emb, [(0, [1.0] * 64), (1, [-1.0] * 64)]),
+            {"max_shuffles": 1, "max_sortmerge": 0,
+             "forbid": ["BroadcastHashJoin", "SortMergeJoin",
+                        "BatchEvalPython", "ArrowEvalPython"]},
         ),
         # pure whole-stage-codegen projection: zero shuffles, zero UDFs
         "text_quality": (
@@ -207,6 +219,8 @@ def main():
             "top-k) — no global sort, no single-partition exchange",
         "sim_ivf_topk": "literal coarse quantizer, centroid-key shuffle, "
             "queries broadcast",
+        "ivf_refine_step": "Lloyd update: argmin centroid inlined as a "
+            "projection column — one exchange (the agg's own), no joins",
         "text_quality": "pure whole-stage-codegen projection, zero "
             "shuffles, zero UDFs",
         "text_bpe_tokens": "regexp pre-tokenizer count: codegen-only "

@@ -15,10 +15,16 @@ raises ``NotImplementedError`` when strict=True.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# every exception class a malformed payload can drive the stdlib decoders
+# into; extract_features maps all of them to decode_status='corrupt'
+_CORRUPT_ERRORS = (ValueError, KeyError, IndexError, struct.error, zlib.error)
 
 MEDIA_SCHEMA = (
     "item_id long, media_type string, payload binary, "
@@ -199,7 +205,13 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 except NotImplementedError:
                     feat = None
                     status = "decode_unavailable"
-                except ValueError:
+                except _CORRUPT_ERRORS:
+                    # any malformed payload must degrade to a 'corrupt' row,
+                    # never crash the task: the stdlib decoders can surface
+                    # zlib.error (CRC-valid IDAT that fails inflate),
+                    # struct.error (short IHDR/fmt chunk), KeyError (color
+                    # type outside the PNG spec) and IndexError alongside
+                    # the ValueErrors they raise deliberately
                     feat = None
                     status = "corrupt"
                 out.append(

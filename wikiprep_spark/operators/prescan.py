@@ -80,12 +80,17 @@ def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
     dragging a full python parse pass into every job that consumes
     live_pages."""
     seq = F.concat_ws("\x00", "repo", "path", "commit").alias("seq")
+    # cast each candidate to BIGINT before distinct/grouping so literal
+    # variants of the same numeric id ('007' vs '7') collide — matching the
+    # int() id rule of both parse_page_record and the from_xml verify; a
+    # string-keyed grouping would let such a duplicate escape the scan
     cands = src_pages.select(
         seq,
         F.explode(
             F.array_distinct(F.expr(
-                r"regexp_extract_all(content,"
-                r" '<id[^>]*>\\s*(\\d+)\\s*</id>', 1)"))
+                r"transform(regexp_extract_all(content,"
+                r" '<id[^>]*>\\s*(\\d+)\\s*</id>', 1),"
+                r" x -> cast(x AS BIGINT))"))
         ).alias("cid"),
     )
     dup_cand = (

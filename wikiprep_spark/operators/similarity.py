@@ -250,13 +250,11 @@ def cosine_pairs_exact(
     )
 
 
-def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
-               vec_col="embedding", n_probe: int = 1) -> DataFrame:
-    """Assign each vector to its ``n_probe`` nearest coarse centroids by
-    cosine (IVF coarse quantization).  ``centroids`` is a python list of
-    (centroid_id, [floats]) — small by construction, inlined as literal
-    arrays so assignment is a pure JVM projection with NO join or shuffle.
-    Returns (id, centroid, probe_rank) with probe_rank 1..n_probe."""
+def _centroid_ranking(centroids: list, vec_col: str):
+    """Column expression ranking the literal centroids by descending cosine
+    against ``vec_col`` — the IVF coarse quantizer as a pure projection.
+    ``centroids`` is a python list of (centroid_id, [floats]) — small by
+    construction, inlined as literal arrays: NO join, NO shuffle."""
     v = F.col(vec_col).cast("array<double>")
     scored = []
     for cid, cvec in centroids:
@@ -264,7 +262,24 @@ def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
         cos = _dot(v, lit) / (_norm(v) * _norm(lit))
         scored.append(F.struct(
             (-cos).alias("neg"), F.lit(cid).alias("centroid")))
-    ranked = F.slice(F.array_sort(F.array(*scored)), 1, n_probe)
+    return F.array_sort(F.array(*scored))
+
+
+def nearest_centroid_col(centroids: list, vec_col: str):
+    """The argmin centroid id as a projection column — attach it with
+    select/withColumn on the SAME frame that carries the vectors, so
+    downstream groupBy(centroid) is the only exchange (joining a separate
+    assignment frame back on id would shuffle the full corpus for
+    nothing)."""
+    return F.element_at(_centroid_ranking(centroids, vec_col), 1)["centroid"]
+
+
+def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
+               vec_col="embedding", n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest coarse centroids by
+    cosine (IVF coarse quantization) via the literal-quantizer projection.
+    Returns (id, centroid, probe_rank) with probe_rank 1..n_probe."""
+    ranked = F.slice(_centroid_ranking(centroids, vec_col), 1, n_probe)
     return emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(ranked).alias("pos", "s"),
@@ -298,11 +313,37 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, id_col="vec_id",
     return [(i, list(r[vec_col])) for i, r in enumerate(seeds)]
 
 
+def ivf_refine_step(emb: DataFrame, centroids: list,
+                    vec_col="embedding") -> DataFrame:
+    """One Lloyd update step as a DataFrame: per-centroid count and exact
+    decimal(30,12) per-dimension sums, with the argmin assignment inlined
+    as a projection column on ``emb`` itself.  Exactly ONE exchange — the
+    groupBy(centroid) aggregation's — and it moves only n_centroids x
+    (dim+1) partial sums per map task (plan-audited by tests/test_plans.py;
+    round 3 joined a separate assignment frame back on id, an id-keyed
+    shuffle of the full corpus per iteration)."""
+    dim = len(centroids[0][1])
+    v = F.col(vec_col).cast("array<double>")
+    assigned = emb.select(
+        v.alias("v"),
+        nearest_centroid_col(centroids, vec_col).alias("centroid"),
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("v", d + 1).cast("decimal(30,12)"))
+        .alias("s%d" % d)
+        for d in range(dim)
+    ]
+    return assigned.groupBy("centroid").agg(*aggs)
+
+
 def ivf_kmeans_refine(emb: DataFrame, centroids: list, n_iters: int = 2,
                       id_col="vec_id", vec_col="embedding") -> list:
     """Lloyd's refinement of the IVF coarse centroids, distributed and
-    DETERMINISTIC: assignment is the literal-quantizer projection (no
-    join, no shuffle), and the update step is ONE groupBy(centroid) whose
+    DETERMINISTIC: the argmin centroid is a projection COLUMN on the same
+    frame that carries the vectors (nearest_centroid_col), so each
+    iteration's only exchange is the groupBy(centroid) aggregation itself
+    — exactly one shuffle of n_centroids x (dim+1) partial sums per
+    iteration, nothing id-keyed (the plan audit asserts this).  The
     per-dimension sums accumulate as decimal(30,12) — float summation
     order varies with partitioning, decimal does not, so the refined
     centroids are bit-identical under any repartitioning (unit-tested).
@@ -310,20 +351,9 @@ def ivf_kmeans_refine(emb: DataFrame, centroids: list, n_iters: int = 2,
     clusters keep their previous centroid.  The search path is untouched:
     refined centroids feed the same ivf_assign literal quantizer."""
     dim = len(centroids[0][1])
-    v = F.col(vec_col).cast("array<double>")
     for _ in range(n_iters):
-        assign = ivf_assign(emb, centroids, id_col, vec_col, n_probe=1)
-        joined = (
-            emb.select(F.col(id_col).alias("id"), v.alias("v"))
-            .join(assign.select("id", "centroid"), "id")
-        )
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(F.element_at("v", d + 1).cast("decimal(30,12)"))
-            .alias("s%d" % d)
-            for d in range(dim)
-        ]
-        by_c = {r["centroid"]: r
-                for r in joined.groupBy("centroid").agg(*aggs).collect()}
+        step = ivf_refine_step(emb, centroids, vec_col)
+        by_c = {r["centroid"]: r for r in step.collect()}
         centroids = [
             (cid,
              [float(by_c[cid]["s%d" % d] / by_c[cid]["n"])
@@ -367,21 +397,21 @@ def ivf_cosine_topk(
     """
     if centroids is None:
         centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
-    corpus_assign = ivf_assign(emb, centroids, id_col, vec_col, n_probe=1)
-    corpus = (
-        emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).cast("array<double>").alias("cvec"))
-        .join(corpus_assign.select(F.col("id").alias("neighbor_id"),
-                                   "centroid"), "neighbor_id")
+    # coarse assignment rides the scan as a projection column on the same
+    # frame as the vectors — joining a separate assignment frame back on
+    # id would shuffle the full corpus once for nothing
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        nearest_centroid_col(centroids, vec_col).alias("centroid"),
     )
-    q_assign = ivf_assign(queries, centroids, id_col, vec_col,
-                          n_probe=n_probe)
-    qs = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
-        .join(q_assign.select(F.col("id").alias("query_id"), "centroid"),
-              "query_id")
-    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.posexplode(
+            F.slice(_centroid_ranking(centroids, vec_col), 1, n_probe)
+        ).alias("pos", "s"),
+    ).select("query_id", "qvec", F.col("s.centroid").alias("centroid"))
     scored = corpus.join(F.broadcast(qs), "centroid").where(
         F.col("neighbor_id") != F.col("query_id")
     ).select(

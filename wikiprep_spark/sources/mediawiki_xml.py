@@ -29,8 +29,12 @@ def parse_page_record(content: str) -> dict:
     except ET.ParseError as exc:
         raise ValueError("malformed page XML: %s" % exc) from exc
     if el.tag != "page":
-        # tolerate a wrapping element (e.g. <mediawiki>)
-        found = el.find(".//page")
+        # tolerate exactly ONE wrapping element (e.g. <mediawiki>) — the
+        # shape MediaWiki exports use.  Deeper nesting is rejected so this
+        # parser stays 1:1 with the JVM-side from_xml id rule
+        # (operators/prescan.py _exact_page_id_col: id | page.id), which can
+        # only see one wrapping level; a record both paths must agree on.
+        found = el.find("page")
         if found is None:
             raise ValueError("no <page> element")
         el = found

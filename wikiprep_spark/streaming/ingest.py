@@ -103,7 +103,13 @@ def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
     TIMEOUT at last_ts + gap: when the watermark passes it, the open
     session flushes and its state is REMOVED — bounded state on unbounded
     streams, and every session eventually emits exactly once.  State is
-    one small tuple per active user; shuffle only on user_id."""
+    one small tuple per active user; shuffle only on user_id.
+
+    Cross-batch disorder (an event within the watermark but older than the
+    stored session frontier) folds into the open session without ever
+    decreasing ``last``; events older than start-gap emit as singleton
+    sessions.  Timeout timestamps are clamped above the current watermark
+    (Spark rejects a timeout <= watermark with a query-killing error)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -131,6 +137,18 @@ def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
         for t in ts:
             if start is None:
                 start, last, n = t, t, 1
+            elif t <= last:
+                # cross-batch disorder: a late-but-within-watermark event
+                # older than the stored frontier.  Never let `last`
+                # decrease (that would corrupt session_end / re-arm the
+                # timeout into the past); fold the event into the open
+                # session when it touches it (>= start - gap, possibly
+                # extending the start backwards), else emit it as its own
+                # already-elapsed singleton session.
+                if t >= start - gap_seconds:
+                    start, n = min(start, t), n + 1
+                else:
+                    closed.append((user_id, t, t, 1))
             elif t - last <= gap_seconds:
                 last, n = t, n + 1
             else:
@@ -139,7 +157,13 @@ def sessionize_events(events_stream: DataFrame, gap_seconds: int = 1800,
         if start is not None:
             state.update((start, last, n))
             if emit_timeouts:
-                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+                # Spark rejects timeout timestamps at or below the current
+                # watermark (a query-killing error); clamp to watermark+1ms
+                # so a session whose gap already elapsed flushes on the
+                # next micro-batch instead of failing the query
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max((last + gap_seconds) * 1000, wm + 1))
         if closed:
             yield pd.DataFrame(closed, columns=cols)
 
