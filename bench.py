@@ -28,11 +28,20 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
 # trusted per-query seconds from the prior round (sf0.1/local[32]); a
 # measurement exceeding OUTLIER_FACTOR x its entry is treated as
 # host-noise contamination and re-measured (round 2 shipped a 6.6x
-# phantom regression this guard would have caught)
+# phantom regression; round 3's retries all landed inside one sustained
+# contamination window and shipped 2-100x garbage anyway, hence the
+# escalating settle + the hard `contaminated` stamp below)
 _EXPECTED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_expected.json")
 OUTLIER_FACTOR = 2.0
-MAX_RETRIES = 2
+# an ACCEPTED minimum still above this x prior marks the query (and the
+# whole artifact) contaminated — the artifact refuses to pass itself off
+# as a real regression measurement
+CONTAMINATION_FACTOR = 1.5
+MAX_RETRIES = 3
+# escalating settle budget per retry: a 30-90s wait sits inside a
+# sustained load window; later retries wait long enough to outlive it
+SETTLE_WAITS = (90.0, 300.0, 600.0)
 
 
 def _load_expected() -> dict:
@@ -45,34 +54,83 @@ def _load_expected() -> dict:
         return {}
 
 
-def _settle(max_wait: float = 90.0, load_per_cpu: float = 0.25):
+def _load_probe_trusted() -> float | None:
+    try:
+        with open(_EXPECTED_PATH) as fh:
+            return float(json.load(fh).get("_probe_ms"))
+    except Exception:
+        return None
+
+
+def _cpu_probe(n: int = 2_000_000) -> float:
+    """Attainable single-thread CPU speed in ms for a fixed busy loop (min
+    of 3).  loadavg only sees LOCAL runnable tasks; this host's throughput
+    swings ~1.7x between hours from contention loadavg cannot see, so the
+    probe is the discriminator the artifact records next to each sample:
+    probe at its trusted value + query slow => real regression; probe slow
+    => host-slow window, the number is not comparable."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(n):
+            x += i * i
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return best
+
+
+def _settle(max_wait: float = 90.0, load_per_cpu: float = 0.25) -> bool:
     """Wait for background load to drain before the measured window —
-    overlapping tasks contaminate single-machine benchmarks (the round-2
-    artifact shipped one such sample)."""
+    overlapping tasks contaminate single-machine benchmarks.  Returns
+    False if the load did NOT drain within max_wait (the caller records
+    that fact instead of pretending the measurement was clean)."""
     ncpu = os.cpu_count() or 8
     deadline = time.time() + max_wait
-    while time.time() < deadline:
+    while True:
         if os.getloadavg()[0] <= ncpu * load_per_cpu:
-            return
+            return True
+        if time.time() >= deadline:
+            return False
         time.sleep(5)
 
 
-def _measure(fn, name: str, expected: dict) -> tuple:
-    """Run fn() under the outlier guard: if the wall time exceeds
-    OUTLIER_FACTOR x the trusted prior value, re-measure (up to
-    MAX_RETRIES) and keep the minimum.  Returns (seconds, n_retries)."""
-    t0 = time.time()
-    fn()
-    best = time.time() - t0
-    exp = expected.get(name) if SF_DIR.endswith("sf0.1") else None
-    retries = 0
-    while exp and best > OUTLIER_FACTOR * exp and retries < MAX_RETRIES:
-        retries += 1
-        _settle(max_wait=30.0)
+def _measure(fn, name: str, expected: dict, observed=None) -> dict:
+    """Run fn() under the outlier guard.  If the measured time exceeds
+    OUTLIER_FACTOR x the trusted prior, settle (escalating waits) and
+    re-measure up to MAX_RETRIES, keeping the minimum.  ``observed``
+    optionally overrides the guarded value after each run (e.g. the kg
+    pipeline's inner wall, which excludes input synthesis).  Returns a
+    dict: sec, retries, load (1-min loadavg at the best sample's start),
+    settle_timeout (some settle gave up), contaminated (the accepted
+    minimum is still > CONTAMINATION_FACTOR x prior — do NOT read this
+    number as a regression)."""
+    def one_sample():
+        load0 = os.getloadavg()[0]
+        probe0 = _cpu_probe()
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return best, retries
+        wall = time.time() - t0
+        return (observed() if observed else wall), load0, probe0
+
+    best, best_load, best_probe = one_sample()
+    exp = expected.get(name) if SF_DIR.endswith("sf0.1") else None
+    retries, settle_timeout = 0, False
+    while exp and best > OUTLIER_FACTOR * exp and retries < MAX_RETRIES:
+        wait = SETTLE_WAITS[min(retries, len(SETTLE_WAITS) - 1)]
+        if not _settle(max_wait=wait):
+            settle_timeout = True
+        retries += 1
+        dt, load0, probe0 = one_sample()
+        if dt < best:
+            best, best_load, best_probe = dt, load0, probe0
+    return {
+        "sec": best,
+        "retries": retries,
+        "load": round(best_load, 2),
+        "probe_ms": round(best_probe, 1),
+        "settle_timeout": settle_timeout,
+        "contaminated": bool(exp and best > CONTAMINATION_FACTOR * exp),
+    }
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -82,10 +140,81 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_quality",
     "text_fingerprint",
+    "text_bpe_tokens",
+    "text_winnow_fingerprints",
     "sim_cosine_topk",
     "graph_closure",
     "graph_components",
 ]
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming operator throughput: each returns a zero-arg callable
+    (for the outlier guard) plus a stats hook read after the run.
+
+    streaming_exact_dedup drains the documents table as a 4-file backlog
+    (availableNow); sessionize_events drains the events table through
+    applyInPandasWithState.  Stats capture rows/sec and state rows from
+    the final StreamingQueryProgress."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wikiprep_spark.streaming import ingest
+
+    tmp = tempfile.mkdtemp(prefix="wikiprep_bench_stream_")
+    docs_dir = os.path.join(tmp, "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4) \
+        .write.parquet(docs_dir)
+    ev_dir = os.path.join(tmp, "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4) \
+        .write.parquet(ev_dir)
+    docs_schema = spark.read.parquet(docs_dir).schema
+    ev_schema = spark.read.parquet(ev_dir).schema
+    stats = {}
+
+    def run_dedup():
+        out = tempfile.mkdtemp(dir=tmp, prefix="dd_out_")
+        stream = spark.readStream.schema(docs_schema).option(
+            "maxFilesPerTrigger", 2).parquet(docs_dir)
+        q = (ingest.streaming_exact_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", os.path.join(out, "data"))
+             .option("checkpointLocation", os.path.join(out, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        p = q.lastProgress
+        stats["streaming_exact_dedup"] = {
+            "rows_in": sum(s["numInputRows"] for s in q.recentProgress),
+            "state_rows": (p["stateOperators"][0]["numRowsTotal"]
+                           if p and p["stateOperators"] else None),
+        }
+
+    def run_sessionize():
+        out = tempfile.mkdtemp(dir=tmp, prefix="ss_out_")
+        stream = spark.readStream.schema(ev_schema).option(
+            "maxFilesPerTrigger", 2).parquet(ev_dir)
+        events = stream.select(
+            F.col("user_id"), F.col("ts").cast("timestamp").alias("ts"))
+        q = (ingest.sessionize_events(events, gap_seconds=1800)
+             .writeStream.format("parquet")
+             .option("path", os.path.join(out, "data"))
+             .option("checkpointLocation", os.path.join(out, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        p = q.lastProgress
+        stats["sessionize_events"] = {
+            "state_rows": (p["stateOperators"][0]["numRowsTotal"]
+                           if p and p["stateOperators"] else None),
+        }
+
+    return {
+        "streaming_exact_dedup": run_dedup,
+        "sessionize_events": run_sessionize,
+        "_stats": stats,
+        "_cleanup": lambda: shutil.rmtree(tmp, ignore_errors=True),
+    }
 
 
 def _bench_near_dedup(spark, sf_dir):
@@ -96,33 +225,41 @@ def _bench_near_dedup(spark, sf_dir):
     candidate (the sf0.01 correctness queries verify that case exactly);
     the bench measures the production configuration: 3-gram shingles +
     high threshold, so candidate volume reflects the LSH/prefix design
-    rather than the degenerate vocabulary."""
+    rather than the degenerate vocabulary.
+
+    Returns {name: zero-arg DataFrame builder}: construction happens
+    INSIDE the measured window, because the decision operator
+    (near_dup_groups) and the IVF bootstrap execute distributed work
+    eagerly during construction (CC label-propagation rounds via
+    localCheckpoint; centroid seed collect)."""
     from pyspark.sql import functions as F
 
-    from wikiprep_spark.operators import dedup
+    from wikiprep_spark.operators import dedup, similarity
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
-                                  threshold=0.8, shingle=3,
-                                  max_bucket=10000)
-    jac = dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3,
-                                    hash_tokens=True)
-    from wikiprep_spark.operators import similarity
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    near = similarity.cosine_near_dup_pairs(emb, dim=64, threshold=0.95,
-                                            bands=8, planes_per_band=4,
-                                            max_bucket=10000)
-    ivf = similarity.ivf_cosine_topk(emb, emb.where("vec_id < 10"), k=5,
-                                     n_centroids=16, n_probe=4)
+
+    def pair_cols(df):
+        return df.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
     return {
-        "dedup_minhash_lsh_sh3": lsh.select(
-            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
-        "dedup_token_jaccard_sh3": jac.select(
-            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
-        "sim_near_dup_lsh": near.select(
+        "dedup_minhash_lsh_sh3": lambda: pair_cols(
+            dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=4,
+                                    threshold=0.8, shingle=3,
+                                    max_bucket=10000)),
+        "dedup_near_groups_sh3": lambda: dedup.near_dup_groups(
+            docs, num_hashes=32, bands=4, threshold=0.8, shingle=3,
+            max_bucket=10000),
+        "dedup_token_jaccard_sh3": lambda: pair_cols(
+            dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3,
+                                      hash_tokens=True)),
+        "sim_near_dup_lsh": lambda: similarity.cosine_near_dup_pairs(
+            emb, dim=64, threshold=0.95, bands=8, planes_per_band=4,
+            max_bucket=10000).select(
             "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")),
-        "sim_ivf_topk_p4": ivf,
+        "sim_ivf_topk_p4": lambda: similarity.ivf_cosine_topk(
+            emb, emb.where("vec_id < 10"), k=5, n_centroids=16, n_probe=4),
     }
 
 
@@ -169,7 +306,25 @@ def main():
     expected = _load_expected()
     queries: dict = {}
     retried: dict = {}
+    loadavg: dict = {}
+    contaminated: list = []
+    settle_timeouts: list = []
     total = 0.0
+
+    probe_ms: dict = {}
+
+    def record(name: str, m: dict):
+        nonlocal total
+        queries[name] = round(m["sec"], 3)
+        loadavg[name] = m["load"]
+        probe_ms[name] = m["probe_ms"]
+        total += m["sec"]
+        if m["retries"]:
+            retried[name] = m["retries"]
+        if m["contaminated"]:
+            contaminated.append(name)
+        if m["settle_timeout"]:
+            settle_timeouts.append(name)
 
     # warm-up OUTSIDE the measured window: spawn the python worker pool,
     # JIT the hot JVM paths and compile the codegen kernels on a tiny
@@ -183,20 +338,22 @@ def main():
                fuse_parse=False, persist=False)
     warm["triples"].write.format("noop").mode("overwrite").save()
 
-    _settle()  # don't start the measured window on a loaded host
+    if not _settle():  # don't start the measured window on a loaded host
+        settle_timeouts.append("_warmup")
 
-    kg_wall, n_pages, n_triples, _ = run_kg_pipeline(spark, SF_DIR, REPLICATE)
-    kg_exp = expected.get("kg_pipeline") if SF_DIR.endswith("sf0.1") else None
-    r = 0
-    while kg_exp and kg_wall > OUTLIER_FACTOR * kg_exp and r < MAX_RETRIES:
-        r += 1
-        _settle(max_wait=30.0)
-        w2, n_pages, n_triples, _ = run_kg_pipeline(spark, SF_DIR, REPLICATE)
-        kg_wall = min(kg_wall, w2)
-    if r:
-        retried["kg_pipeline"] = r
-    queries["kg_pipeline"] = round(kg_wall, 3)
-    total += kg_wall
+    # kg pipeline: the wall is measured INSIDE run_kg_pipeline (input
+    # synthesis excluded), so the guard watches the inner wall via the
+    # `observed` hook
+    kg = {}
+
+    def kg_run():
+        kg["wall"], kg["pages"], kg["triples"], _ = run_kg_pipeline(
+            spark, SF_DIR, REPLICATE)
+
+    record("kg_pipeline", _measure(kg_run, "kg_pipeline", expected,
+                                   observed=lambda: kg["wall"]))
+    kg_wall, n_pages, n_triples = queries["kg_pipeline"], kg["pages"], \
+        kg["triples"]
 
     def run_query(name):
         # construction INSIDE the measured window: iterative operators
@@ -206,21 +363,20 @@ def main():
             "noop").mode("overwrite").save()
 
     for name in BENCH_QUERIES:
-        dt, r = _measure(run_query(name), name, expected)
-        if r:
-            retried[name] = r
-        queries[name] = round(dt, 3)
-        total += dt
+        record(name, _measure(run_query(name), name, expected))
 
-    def run_df(df):
-        return lambda: df.write.format("noop").mode("overwrite").save()
+    def run_build(build):
+        return lambda: build().write.format("noop").mode("overwrite").save()
 
-    for name, df in _bench_near_dedup(spark, SF_DIR).items():
-        dt, r = _measure(run_df(df), name, expected)
-        if r:
-            retried[name] = r
-        queries[name] = round(dt, 3)
-        total += dt
+    for name, build in _bench_near_dedup(spark, SF_DIR).items():
+        record(name, _measure(run_build(build), name, expected))
+
+    streaming = _bench_streaming(spark, SF_DIR)
+    stream_stats = streaming.pop("_stats")
+    cleanup = streaming.pop("_cleanup")
+    for name, fn in streaming.items():
+        record(name, _measure(fn, name, expected))
+    cleanup()
 
     out = {
         "metric": "kg_pages_per_sec",
@@ -233,12 +389,34 @@ def main():
         "kg_triples": n_triples,
         "replicate": REPLICATE,
         "cpus": CPUS,
+        # 1-min loadavg and CPU-probe ms at the start of each query's
+        # accepted (minimum) sample — the contamination evidence lives in
+        # the artifact itself.  Compare probe_ms against the trusted
+        # "_probe_ms" entry of bench_expected.json: probe at trusted speed
+        # + query slow = real regression; probe slow = host-slow window.
+        "loadavg": loadavg,
+        "probe_ms": probe_ms,
+        "probe_ms_trusted": _load_probe_trusted(),
     }
     if retried:
         # queries whose first sample exceeded 2x the trusted prior value
         # and were re-measured (min kept) — nonempty means the host was
         # noisy during this run
         out["outlier_retries"] = retried
+    if settle_timeouts:
+        out["settle_timeouts"] = settle_timeouts
+    if stream_stats:
+        out["streaming_stats"] = stream_stats
+    if contaminated:
+        # HARD stamp: these queries' accepted minimum still exceeds 1.5x
+        # the trusted prior after escalating settles + retries.  The
+        # numbers are host-noise, NOT a regression — do not compare this
+        # artifact against priors or previous rounds (rounds 2 and 3 each
+        # shipped unstamped garbage; this is the fix)
+        out["contaminated"] = True
+        out["contaminated_queries"] = contaminated
+        print("BENCH CONTAMINATED (host noise, not a regression): %s"
+              % ",".join(contaminated), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 
