@@ -395,3 +395,74 @@ def hgw_mismatches(result: dict, vetted: dict) -> list[str]:
     if result["text"] != vetted["text"]:
         probs.append("text")
     return probs
+
+
+def external_anchor_rows(results: list) -> list:
+    """Legacy._logExternalAnchors (Legacy.pm:176-186): one row per
+    external link WITH an anchor, in extraction order — (page_id, url,
+    anchor).  Bare urls (no anchor) are skipped."""
+    rows = []
+    for r in results:
+        if "text" not in r:
+            continue
+        for link in r.get("externalLinks", []):
+            if link.get("anchor") is not None:
+                rows.append((r["id"], link["url"], link["anchor"]))
+    return rows
+
+
+def load_vetted_external_anchors(name: str) -> list:
+    """(page_id, url, anchor) rows of a vetted .external_anchors file."""
+    rows = []
+    for line in load_vetted_lines(
+            f"{CASES_DIR}/{name}.external_anchors.vetted"):
+        pid, url, anchor = line.split("\t", 2)
+        rows.append((int(pid), url, anchor))
+    return rows
+
+
+def template_log_cases() -> list:
+    """(case_name, template_id, vetted_path) for every vetted
+    per-template inclusion log (<case>.templates!<prefix>!<id>.vetted —
+    cases.t:61-64 maps '!' to '/' under the templates/ inc dir)."""
+    out = []
+    for fn in sorted(os.listdir(CASES_DIR)):
+        if ".templates!" in fn and fn.endswith(".vetted"):
+            case = fn.split(".templates!")[0]
+            tid = int(fn[:-len(".vetted")].rsplit("!", 1)[1])
+            out.append((case, tid, os.path.join(CASES_DIR, fn)))
+    return out
+
+
+def template_log_blocks(results: list, template_id: int) -> list:
+    """Legacy._logTemplateIncludes (Legacy.pm:188-215) for ONE template:
+    ordered (page_id, param-lines) blocks — one block per inclusion, in
+    page order then inclusion order; newlines in values become spaces and
+    params starting with '=' are skipped.  Within a block the reference
+    iterates a Perl HASH (irreproducible ordering), so the block's lines
+    are compared as a sorted list."""
+    blocks = []
+    for r in results:
+        for params in r.get("templates", {}).get(template_id, []):
+            lines = sorted(
+                "%s = %s" % (p, str(v).replace("\n", " "))
+                for p, v in params.items() if not p.startswith("="))
+            blocks.append((r["id"], lines))
+    return blocks
+
+
+def load_vetted_template_log(path: str) -> list:
+    """Ordered (page_id, sorted-param-lines) blocks of a vetted
+    per-template inclusion log."""
+    blocks, pid, lines = [], None, []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith("Page "):
+                pid, lines = int(line[5:]), []
+            elif line == "End":
+                blocks.append((pid, sorted(lines)))
+                pid, lines = None, []
+            elif pid is not None:
+                lines.append(line)
+    return blocks

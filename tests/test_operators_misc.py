@@ -490,10 +490,11 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_stub_strict_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "image", strict=True)
-    # codec-bound payloads still raise in strict mode via the dispatcher
+    # codec-bound payloads (video container) still raise in strict mode
+    # via the dispatcher
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\xff\xd8\xff\xe0jpegish", "image",
-                                strict=True)
+        multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42moovish",
+                                "video", strict=True)
 
 
 def _make_png(w, h, color=(200, 50, 7)):
@@ -777,3 +778,58 @@ def test_parse_page_record_single_wrap_only():
     with pytest.raises(ValueError):
         parse_page_record(
             "<export><mediawiki>%s</mediawiki></export>" % inner)
+
+
+def _make_jpeg(w, h, progressive=False, precision=8, ncomp=3):
+    """Minimal structurally-valid JPEG header stream: SOI, APP0/JFIF, DQT,
+    SOFn, EOI (no entropy data — the dimension walk never reads it)."""
+    import struct
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof_data = struct.pack(">BHHB", precision, h, w, ncomp) \
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[:ncomp * 3]
+    sof = seg(0xC2 if progressive else 0xC0, sof_data)
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def test_decode_jpeg_meta_real():
+    d = multimodal.decode_jpeg_meta(_make_jpeg(640, 480))
+    assert (d["width"], d["height"], d["precision"], d["components"],
+            d["progressive"]) == (640, 480, 8, 3, False)
+    assert multimodal.decode_jpeg_meta(_make_jpeg(9, 7, progressive=True))[
+        "progressive"]
+    # strict mode succeeds: dimensions are REAL metadata, not the stub
+    feat, status = multimodal.decode_media(_make_jpeg(640, 480), "image",
+                                           strict=True)
+    assert status == "ok_jpeg_meta" and feat[0] == 3.0
+    assert abs(feat[1] - 640 / 65535) < 1e-9
+    # non-JPEG returns None (falls through to the other decoders)
+    assert multimodal.decode_jpeg_meta(b"RIFFxxxx") is None
+    # malformed streams raise: truncated segment, SOS before SOF, no SOF
+    for bad in (b"\xff\xd8\xff\xe0jpegish",
+                b"\xff\xd8\xff\xda\x00\x04\x01\x00",
+                b"\xff\xd8\xff\xd9"):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg_meta(bad)
+
+
+def test_jpeg_in_spark_feature_chain(spark):
+    rows = [(1, "image", bytearray(_make_jpeg(100, 50))),
+            (2, "image", bytearray(b"\xff\xd8\xff\xe0jpegish"))]
+    df = spark.createDataFrame(
+        rows, "item_id long, media_type string, payload binary")
+    media = df.select(
+        "item_id", "media_type", "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"))
+    got = {r["item_id"]: r for r in
+           multimodal.extract_features(media).collect()}
+    assert got[1]["decode_status"] == "ok_jpeg_meta"
+    assert got[2]["decode_status"] == "corrupt"

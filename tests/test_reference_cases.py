@@ -101,3 +101,26 @@ def test_case_robustness(name):
             assert isinstance(link.get("anchorText", ""), str)
         for cat in r.get("categories", ()):
             assert isinstance(cat, int)
+
+
+def test_external_anchors_case():
+    # externalurls.external_anchors.vetted — Legacy._logExternalAnchors:
+    # (page_id, url, anchor) per anchored external link, byte-exact in
+    # extraction order (array iteration, deterministic in the reference)
+    _, results = rc.run_case("externalurls")
+    got = rc.external_anchor_rows(results)
+    want = rc.load_vetted_external_anchors("externalurls")
+    assert got == want and want
+
+
+@pytest.mark.parametrize("case,tid,path", rc.template_log_cases())
+def test_template_inclusion_log_case(case, tid, path):
+    # <case>.templates!<prefix>!<id>.vetted — Legacy._logTemplateIncludes:
+    # one Page/End block per inclusion, in page order.  The reference
+    # iterates the parameter hash in Perl-hash order (irreproducible), so
+    # within-block param lines compare as sorted lists; block sequence,
+    # page ids, parameter names and values are exact.
+    _, results = rc.run_case(case)
+    got = rc.template_log_blocks(results, tid)
+    want = rc.load_vetted_template_log(path)
+    assert got == want and want

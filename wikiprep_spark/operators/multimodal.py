@@ -4,12 +4,14 @@ Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; the Spark-side plumbing (schemas, batching, partitioning,
 UDF signatures) is real and tested.  Self-describing formats are decoded
 for real with the stdlib — PNG (chunk walk, per-chunk CRC32 validation,
-IDAT zlib inflate, raw-size check against IHDR geometry) and PCM WAV
-(RIFF chunk walk, fmt parse, sample decode + RMS/peak features).  Only
-codec-bound media (JPEG entropy decode, video, compressed audio) remains
-STUBBED behind ``decode_stub`` — the codec libraries (PIL/ffmpeg) are not
-available in this environment — a clearly-marked deterministic fake that
-raises ``NotImplementedError`` when strict=True.
+IDAT zlib inflate, raw-size check against IHDR geometry), PCM WAV
+(RIFF chunk walk, fmt parse, sample decode + RMS/peak features) and JPEG
+frame geometry (marker-segment walk to the SOFn header: width/height/
+precision/components/progressive).  Only codec-bound media (JPEG entropy
+decode to pixels, video, compressed audio) remains STUBBED behind
+``decode_stub`` — the codec libraries (PIL/ffmpeg) are not available in
+this environment — a clearly-marked deterministic fake that raises
+``NotImplementedError`` when strict=True.
 """
 
 from __future__ import annotations
@@ -118,6 +120,57 @@ def decode_png(payload: bytes) -> dict | None:
             "n_chunks": n_chunks, "raw_bytes": len(raw)}
 
 
+# SOFn frame-header markers: C0-C3, C5-C7, C9-CB, CD-CF (C4=DHT, C8=JPG
+# reserved, CC=DAC are NOT frame headers)
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC))
+
+
+def decode_jpeg_meta(payload: bytes) -> dict | None:
+    """Real JPEG DIMENSION decode with the stdlib: SOI check, marker-segment
+    walk (fill bytes, length-less RST/TEM markers handled), SOFn frame
+    header parse — width, height, sample precision, component count,
+    progressive flag.  The ENTROPY decode (actual pixels) is codec-bound
+    and stays stubbed; dimensions/geometry are what a curation pipeline
+    filters on anyway.  Returns None if the payload is not JPEG; raises
+    ValueError on a malformed JPEG stream."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos, n_segments = 2, 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if length < 2 or pos + 2 + length > len(payload):
+            raise ValueError("bad JPEG segment length")
+        n_segments += 1
+        if marker in _JPEG_SOF_MARKERS:
+            seg = payload[pos + 4:pos + 2 + length]
+            if len(seg) < 6:
+                raise ValueError("short JPEG SOF segment")
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if w == 0 or h == 0 or ncomp == 0:
+                raise ValueError("degenerate JPEG frame geometry")
+            return {"format": "jpeg", "width": w, "height": h,
+                    "precision": precision, "components": ncomp,
+                    "progressive": marker == 0xC2,
+                    "n_segments": n_segments}
+        if marker == 0xDA:  # entropy-coded data without a frame header
+            raise ValueError("JPEG SOS before SOF")
+        pos += 2 + length
+    raise ValueError("JPEG without SOF frame header")
+
+
 def decode_wav(payload: bytes) -> dict | None:
     """Real PCM WAV decode with the stdlib: RIFF chunk walk, fmt parse,
     8/16-bit sample decode, RMS + peak features.  Returns None if the
@@ -158,9 +211,11 @@ def decode_wav(payload: bytes) -> dict | None:
 def decode_media(payload: bytes, media_type: str,
                  strict: bool = False) -> tuple:
     """Dispatch decode: real stdlib decoders for self-describing formats
-    (PNG, PCM WAV), decode_stub for everything codec-bound.  Returns
-    (8-dim feature vector, status); strict mode raises only for the
-    formats that genuinely need absent codec libraries."""
+    (PNG, PCM WAV, JPEG frame geometry), decode_stub for everything
+    codec-bound.  Returns (8-dim feature vector, status); strict mode
+    raises only for the formats that genuinely need absent codec
+    libraries (JPEG dimensions are real metadata, so a well-formed JPEG
+    succeeds even in strict mode — only its pixel decode is stubbed)."""
     png = decode_png(payload)
     if png is not None:
         return [
@@ -173,6 +228,18 @@ def decode_media(payload: bytes, media_type: str,
             min(png["n_chunks"], 64) / 64.0,
             1.0,
         ], "ok_png"
+    jpg = decode_jpeg_meta(payload)
+    if jpg is not None:
+        return [
+            3.0,
+            min(jpg["width"], 65535) / 65535.0,
+            min(jpg["height"], 65535) / 65535.0,
+            jpg["precision"] / 16.0,
+            jpg["components"] / 4.0,
+            1.0 if jpg["progressive"] else 0.0,
+            min(jpg["n_segments"], 64) / 64.0,
+            1.0,
+        ], "ok_jpeg_meta"
     wav = decode_wav(payload)
     if wav is not None:
         return [

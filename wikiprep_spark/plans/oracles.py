@@ -233,6 +233,12 @@ KG_ORACLES["kg_incoming_links"] = (
     "SELECT target_id, count(*)::BIGINT AS n_links FROM links GROUP BY 1"
 )
 
+# the pruned-dictionary scale path must be externally indistinguishable
+# from the inmem broadcast path, so it is gated by the IDENTICAL oracles
+KG_ORACLES["kg_links_pruned"] = KG_ORACLES["kg_links"]
+KG_ORACLES["kg_template_inclusions_pruned"] = (
+    KG_ORACLES["kg_template_inclusions"])
+
 
 def textops_oracles():
     """Oracles for the text-analysis / dedup / similarity operators — exact

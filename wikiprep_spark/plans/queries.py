@@ -28,6 +28,23 @@ def kg_pipeline(spark: SparkSession, sf_dir: str) -> dict:
     return _PIPELINE_CACHE[key]
 
 
+def kg_pipeline_pruned(spark: SparkSession, sf_dir: str) -> dict:
+    """The same pipeline through the 10^8-title SCALE path: dictionaries
+    written as sorted row-group-pruned parquet and side-loaded per worker
+    (dict_mode='pruned', functions/dictload.py) instead of broadcast
+    in-memory dicts.  Gated by the SAME DuckDB oracles as the inmem path —
+    the two modes must be indistinguishable from the outside."""
+    import tempfile
+
+    key = (id(spark), sf_dir, "pruned")
+    if key not in _PIPELINE_CACHE:
+        src = build_src_pages(spark, sf_dir)
+        wd = tempfile.mkdtemp(prefix="wikiprep_pruned_")
+        _PIPELINE_CACHE[key] = run_pipeline(
+            spark, src, work_dir=wd, dict_mode="pruned")
+    return _PIPELINE_CACHE[key]
+
+
 def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -36,6 +53,18 @@ def _read(spark, sf_dir, name):
 
 def kg_links(spark, sf_dir):
     return kg_pipeline(spark, sf_dir)["links"]
+
+
+def kg_links_pruned(spark, sf_dir):
+    """kg_links via the pruned-dictionary scale path; oracle == kg_links."""
+    return kg_pipeline_pruned(spark, sf_dir)["links"]
+
+
+def kg_template_inclusions_pruned(spark, sf_dir):
+    """kg_template_inclusions via the pruned-dictionary scale path (the
+    template-body lookups exercise RowGroupPrunedDict.get on every
+    transclusion); oracle == kg_template_inclusions."""
+    return kg_pipeline_pruned(spark, sf_dir)["template_inclusions"]
 
 
 def kg_anchors(spark, sf_dir):
@@ -372,6 +401,8 @@ QUERIES = {
     "kg_incoming_links": kg_incoming_links,
     "kg_redirect_closure": kg_redirect_closure,
     "kg_canonical_titles": kg_canonical_titles,
+    "kg_links_pruned": kg_links_pruned,
+    "kg_template_inclusions_pruned": kg_template_inclusions_pruned,
     "graph_closure": graph_closure,
     "graph_components": graph_components,
     "q1_pricing_summary": q1_pricing_summary,
