@@ -151,9 +151,28 @@ def main():
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
     lo = min(los, key=lambda r: r["wall"])
     hi = min(his, key=lambda r: r["wall"])
-    eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
+    # Host speed swings ~1.7x between HOURS here; an ADJACENT interleaved
+    # (lo, hi) pair shares one host-speed window, so per-pair efficiency
+    # is the least-biased estimator — min-per-level can pair a fast-window
+    # lo with a slow-window hi (or vice versa) and report garbage either
+    # direction.  The headline is the median over pairs.
+    pair_effs = [round((l["wall"] / h["wall"]) / 4.0, 4)
+                 for l, h in zip(los, his)]
+    eff = sorted(pair_effs)[len(pair_effs) // 2] if len(pair_effs) % 2 \
+        else sorted(pair_effs)[len(pair_effs) // 2 - 1]
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve sections other tools append (e.g. tools_scale10.py's
+    # "## Data-scale evidence") across rewrites of the scaling section
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            old = fh.read()
+        idx = old.find("## Data-scale evidence")
+        if idx != -1:
+            extra = "\n" + old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             "# BENCH — knowledge-graph pipeline throughput & scaling\n\n"
@@ -175,7 +194,11 @@ def main():
             f"| local[{4*n}] pinned (4N) | {hi['wall']:.1f} | "
             f"{hi['pages_per_sec']:.1f} |\n\n"
             f"**Scaling efficiency (N -> 4N): {eff:.3f}** "
-            "(gate: >= 0.8)\n\n"
+            "(gate: >= 0.8) — the median of per-ROUND efficiencies "
+            f"{pair_effs} (each adjacent interleaved lo/hi pair shares "
+            "one host-speed window; this host swings ~1.7x between "
+            "hours, so cross-window ratios mislead in either "
+            "direction).\n\n"
             "## Per-stage breakdown (seconds, best run per level)\n\n"
             "| stage | N | 4N | speedup |\n"
             "|---|---|---|---|\n"
@@ -203,6 +226,7 @@ def main():
             "two cluster sizes.\n\n"
             "Reproduce: `python bench_scaling.py 2 2`; "
             "`python bench.py` (one-line JSON for the driver).\n"
+            + extra
         )
     print(json.dumps({"n_cores": n, "lo": lo, "hi": hi,
                       "scaling_efficiency": round(eff, 4)}))
