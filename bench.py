@@ -258,6 +258,12 @@ def _bench_near_dedup(spark, sf_dir):
             emb, dim=64, threshold=0.95, bands=8, planes_per_band=4,
             max_bucket=10000).select(
             "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")),
+        # threshold 0.35: the synthetic embeddings are near-orthogonal
+        # above ~0.35 cosine at sf0.1, so higher thresholds yield an
+        # empty pair graph and the decision stage would measure nothing
+        "sim_near_dup_groups": lambda: similarity.embedding_near_dup_groups(
+            emb, dim=64, threshold=0.35, bands=8, planes_per_band=4,
+            max_bucket=10000),
         "sim_ivf_topk_p4": lambda: similarity.ivf_cosine_topk(
             emb, emb.where("vec_id < 10"), k=5, n_centroids=16, n_probe=4),
     }

@@ -833,3 +833,32 @@ def test_jpeg_in_spark_feature_chain(spark):
            multimodal.extract_features(media).collect()}
     assert got[1]["decode_status"] == "ok_jpeg_meta"
     assert got[2]["decode_status"] == "corrupt"
+
+
+def test_embedding_near_dup_groups(spark):
+    """Vector dedup decisions: transitively-linked near-dup vectors
+    collapse to one min-id representative; isolated vectors represent
+    themselves — the embedding twin of near_dup_groups."""
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    for c in range(4):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for m in range(3):
+            rows.append((c * 10 + m,
+                         [x + rng.uniform(-0.005, 0.005) for x in center]))
+    rows.append((99, [1.0] + [0.0] * (dim - 1)))  # isolated
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r["vec_id"]: r for r in similarity.embedding_near_dup_groups(
+        emb, dim=dim, threshold=0.95).collect()}
+    assert len(got) == 13
+    for c in range(4):
+        rep = c * 10
+        assert not got[rep]["is_duplicate"]
+        for m in (1, 2):
+            assert got[rep + m]["representative_id"] == rep
+            assert got[rep + m]["is_duplicate"]
+    assert got[99]["representative_id"] == 99 and not got[99]["is_duplicate"]

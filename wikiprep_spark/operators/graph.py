@@ -87,6 +87,11 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: sym is joined in every propagation round, and
+        # Spark re-executes the whole upstream per consuming job — with an
+        # expensive edge producer (LSH pair generation feeding
+        # near-dup-groups) that re-ran the full candidate join each round
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -143,6 +148,8 @@ def connected_components(
             new_sum = compressed.agg(
                 F.sum(F.col("component").cast("decimal(38,0)"))
             ).first()[0]
+            if new_sum is None:
+                break  # empty edge set: sum() is NULL, nothing to propagate
             if prev_sum is not None and new_sum == prev_sum:
                 break
             prev_sum = new_sum

@@ -250,6 +250,50 @@ def cosine_pairs_exact(
     )
 
 
+def embedding_near_dup_groups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col="vec_id",
+    vec_col="embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The embedding-side dedup DECISION operator: banded hyperplane LSH
+    verified pairs -> connected components -> one min-id representative
+    per near-dup cluster.  Returns (vec_id, representative_id,
+    is_duplicate) for EVERY vector — the exact vector twin of
+    dedup.near_dup_groups, so an embedding-based curation pipeline gets
+    the same drop-list surface as the text one.
+
+    Scale shape: pair generation is the bucketed LSH machinery
+    (cosine_near_dup_pairs, hub guard via ``max_bucket``); the clustering
+    is O(log diameter) label-propagation rounds over the (tiny) pair
+    graph, not the corpus; the final join back to ``emb`` broadcasts the
+    component map when it is small."""
+    from wikiprep_spark.operators.graph import connected_components
+
+    pairs = cosine_near_dup_pairs(emb, dim, threshold, bands,
+                                  planes_per_band, id_col, vec_col,
+                                  max_bucket)
+    cc = connected_components(
+        pairs.select(F.col("vec_a").alias("src"),
+                     F.col("vec_b").alias("dst"))
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id"))
+            .alias("representative_id"),
+            (F.coalesce("component", F.col("vec_id")) != F.col("vec_id"))
+            .alias("is_duplicate"),
+        )
+    )
+
+
 def _centroid_ranking(centroids: list, vec_col: str):
     """Column expression ranking the literal centroids by descending cosine
     against ``vec_col`` — the IVF coarse quantizer as a pure projection.

@@ -509,6 +509,32 @@ SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b,
 FROM s WHERE cosine >= 0.35
 """
     sql["sim_near_dup_exact"] = sql["sim_near_dup"]
+
+    # embedding dedup decisions: the exact cosine pair graph's connected
+    # components with min-id representatives — same recursive-closure
+    # pattern as dedup_near_groups, over vectors instead of shingles
+    sql["sim_near_dup_groups"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot('a.v', 'b.v')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')})) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), pairs AS (
+  SELECT vec_a, vec_b FROM s WHERE cosine >= 0.35
+), sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+  UNION SELECT vec_id, vec_id FROM embeddings
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+)
+SELECT a::BIGINT AS vec_id, min(b)::BIGINT AS representative_id,
+       (min(b) <> a) AS is_duplicate
+FROM reach GROUP BY a
+"""
     sql["sim_lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -379,6 +379,17 @@ def sim_near_dup_exact(spark, sf_dir):
     )
 
 
+def sim_near_dup_groups(spark, sf_dir):
+    # the embedding-side dedup DECISION surface: LSH pairs (same
+    # provably-recall-1 config as sim_near_dup) -> connected components ->
+    # min-id representative per cluster; the oracle recomputes the exact
+    # cosine pair graph and its components with a recursive closure
+    return similarity.embedding_near_dup_groups(
+        _read(spark, sf_dir, "embeddings"), dim=64, threshold=0.35,
+        bands=24, planes_per_band=1,
+    )
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -425,5 +436,6 @@ QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_near_dup": sim_near_dup,
     "sim_near_dup_exact": sim_near_dup_exact,
+    "sim_near_dup_groups": sim_near_dup_groups,
     "sim_ivf_topk": sim_ivf_topk,
 }
