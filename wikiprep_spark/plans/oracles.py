@@ -239,6 +239,10 @@ KG_ORACLES["kg_links_pruned"] = KG_ORACLES["kg_links"]
 KG_ORACLES["kg_template_inclusions_pruned"] = (
     KG_ORACLES["kg_template_inclusions"])
 
+# ...and likewise the fused two-pass PRODUCTION mode (what bench.py runs)
+KG_ORACLES["kg_links_fused"] = KG_ORACLES["kg_links"]
+KG_ORACLES["kg_anchors_fused"] = KG_ORACLES["kg_anchors"]
+
 
 def textops_oracles():
     """Oracles for the text-analysis / dedup / similarity operators — exact

@@ -45,6 +45,25 @@ def kg_pipeline_pruned(spark: SparkSession, sf_dir: str) -> dict:
     return _PIPELINE_CACHE[key]
 
 
+def kg_pipeline_fused(spark: SparkSession, sf_dir: str) -> dict:
+    """The PRODUCTION configuration — fused two-pass (prescan-projection
+    parse + re-parse fused with the transform kernel, work-dir stage
+    writes; what bench.py measures) — gated by the same DuckDB oracles as
+    the default staged mode."""
+    import tempfile
+
+    key = (id(spark), sf_dir, "fused")
+    if key not in _PIPELINE_CACHE:
+        src_dir = tempfile.mkdtemp(prefix="wikiprep_fused_src_")
+        build_src_pages(spark, sf_dir).write.mode("overwrite").parquet(
+            src_dir + "/src")
+        _PIPELINE_CACHE[key] = run_pipeline(
+            spark, spark.read.parquet(src_dir + "/src"),
+            work_dir=tempfile.mkdtemp(prefix="wikiprep_fused_wd_"),
+            fuse_parse=True)
+    return _PIPELINE_CACHE[key]
+
+
 def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -65,6 +84,19 @@ def kg_template_inclusions_pruned(spark, sf_dir):
     template-body lookups exercise RowGroupPrunedDict.get on every
     transclusion); oracle == kg_template_inclusions."""
     return kg_pipeline_pruned(spark, sf_dir)["template_inclusions"]
+
+
+def kg_links_fused(spark, sf_dir):
+    """kg_links via the fused two-pass production mode; oracle == kg_links."""
+    return kg_pipeline_fused(spark, sf_dir)["links"]
+
+
+def kg_anchors_fused(spark, sf_dir):
+    """kg_anchors via the fused mode (anchors carry text offsets, the
+    most parse-sensitive output); oracle == kg_anchors."""
+    return kg_pipeline_fused(spark, sf_dir)["anchors"].select(
+        "target_id", "source_id", "anchor_text"
+    )
 
 
 def kg_anchors(spark, sf_dir):
@@ -414,6 +446,8 @@ QUERIES = {
     "kg_canonical_titles": kg_canonical_titles,
     "kg_links_pruned": kg_links_pruned,
     "kg_template_inclusions_pruned": kg_template_inclusions_pruned,
+    "kg_links_fused": kg_links_fused,
+    "kg_anchors_fused": kg_anchors_fused,
     "graph_closure": graph_closure,
     "graph_components": graph_components,
     "q1_pricing_summary": q1_pricing_summary,
