@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import _bench_near_dedup, _cpu_probe, _settle, run_kg_pipeline
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# kg replication levels; override e.g. SPARK_GRAFT_SCALE_REPS=2000 for a
+# single 100x point (12.2M pages, ~40 min)
+REPS = [int(r) for r in os.environ.get(
+    "SPARK_GRAFT_SCALE_REPS", "20,200").split(",")]
 
 
 def main():
@@ -52,7 +56,7 @@ def main():
     out = {"cpus": CPUS, "probe_ms": round(_cpu_probe(), 1), "kg": {},
            "lsh": {}}
 
-    for rep in (20, 200):
+    for rep in REPS:
         wall, n_pages, n_triples, _ = run_kg_pipeline(
             spark, "/root/testdata/sf0.1", rep)
         out["kg"][f"rep{rep}"] = {
@@ -62,20 +66,22 @@ def main():
         }
         _settle()
 
-    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
-        builders = _bench_near_dedup(spark, sf)
-        res = {}
-        for name in ("dedup_minhash_lsh_sh3", "dedup_token_jaccard_sh3"):
-            t0 = time.time()
-            df = builders[name]()
-            n = df.count()
-            res[name] = {"sec": round(time.time() - t0, 2), "pairs": n}
-        out["lsh"][sf.rsplit("/", 1)[1]] = res
-        _settle()
+    if len(REPS) > 1:
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            builders = _bench_near_dedup(spark, sf)
+            res = {}
+            for name in ("dedup_minhash_lsh_sh3",
+                         "dedup_token_jaccard_sh3"):
+                t0 = time.time()
+                df = builders[name]()
+                n = df.count()
+                res[name] = {"sec": round(time.time() - t0, 2), "pairs": n}
+            out["lsh"][sf.rsplit("/", 1)[1]] = res
+            _settle()
 
-    out["kg"]["scale_ratio"] = round(
-        out["kg"]["rep200"]["pages_per_sec"]
-        / out["kg"]["rep20"]["pages_per_sec"], 3)
+        out["kg"]["scale_ratio"] = round(
+            out["kg"][f"rep{REPS[-1]}"]["pages_per_sec"]
+            / out["kg"][f"rep{REPS[0]}"]["pages_per_sec"], 3)
     print(json.dumps(out))
     spark.stop()
 
