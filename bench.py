@@ -234,7 +234,7 @@ def _bench_near_dedup(spark, sf_dir):
     localCheckpoint; centroid seed collect)."""
     from pyspark.sql import functions as F
 
-    from wikiprep_spark.operators import dedup, similarity
+    from wikiprep_spark.operators import dedup, similarity, textops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -254,6 +254,12 @@ def _bench_near_dedup(spark, sf_dir):
         "dedup_token_jaccard_sh3": lambda: pair_cols(
             dedup.token_jaccard_pairs(docs, threshold=0.8, shingle=3,
                                       hash_tokens=True)),
+        # MOSS containment pairs with the boilerplate posting guard (the
+        # scale path; the synthetic vocabulary makes every fingerprint
+        # corpus-common, so the unguarded config measures a posting-list
+        # blowup that real code corpora reserve for license headers)
+        "text_winnow_overlap_mp100": lambda: textops.winnow_overlap_pairs(
+            docs, threshold=0.8, max_posting=100),
         "sim_near_dup_lsh": lambda: similarity.cosine_near_dup_pairs(
             emb, dim=64, threshold=0.95, bands=8, planes_per_band=4,
             max_bucket=10000).select(

@@ -862,3 +862,41 @@ def test_embedding_near_dup_groups(spark):
             assert got[rep + m]["representative_id"] == rep
             assert got[rep + m]["is_duplicate"]
     assert got[99]["representative_id"] == 99 and not got[99]["is_duplicate"]
+
+
+def test_winnow_overlap_pairs(spark):
+    """MOSS containment: a document embedding another's full text pairs
+    at overlap 1.0 regardless of its extra content (where Jaccard would
+    dilute); unrelated text does not pair; the boilerplate posting guard
+    drops pairs whose only shared evidence is hyper-common fingerprints."""
+    from wikiprep_spark.operators import textops
+
+    core = "def quicksort(arr): return sorted(arr) # classic algorithm"
+    docs = spark.createDataFrame(
+        [
+            (1, core),
+            (2, "intro paragraph here. " + core + " and a long trailing "
+                "discussion of complexity bounds and pivots."),
+            (3, "completely unrelated prose about mountain weather"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r for r in
+           textops.winnow_overlap_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["overlap"] == 1.0  # containment, not Jaccard
+    assert not any(3 in p for p in got)
+
+    # boilerplate guard: 30 docs sharing ONLY a license header pair with
+    # each other; with max_posting below 30 those pairs disappear while
+    # the genuine clone pair (1,2) survives
+    header = "copyright acme corp all rights reserved license apache two"
+    rows = [(100 + i, header + f" unique body text number {i} "
+             + "x" * (i % 7)) for i in range(30)]
+    many = docs.unionByName(spark.createDataFrame(
+        rows, "doc_id long, text string"))
+    guarded = {(r["doc_a"], r["doc_b"]) for r in
+               textops.winnow_overlap_pairs(
+                   many, threshold=0.5, max_posting=10).collect()}
+    assert (1, 2) in guarded
+    assert not any(a >= 100 and b >= 100 for a, b in guarded)

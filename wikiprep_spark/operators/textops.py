@@ -157,6 +157,56 @@ def winnow_fingerprints(docs: DataFrame, id_col="doc_id", text_col="text",
     )
 
 
+def winnow_overlap_pairs(docs: DataFrame, id_col="doc_id",
+                         text_col="text", k: int = 8, window: int = 4,
+                         threshold: float = 0.5,
+                         max_posting: int | None = None) -> DataFrame:
+    """MOSS-style local-similarity pairs (Schleimer'03 §5): documents
+    joined on shared winnowing fingerprints, scored by CONTAINMENT
+    overlap |common fps| / min(|fps_a|, |fps_b|) — the code-clone /
+    plagiarism-candidate detector (a doc containing a copied function
+    scores high even when the rest differs, where Jaccard would dilute).
+
+    Scale shape: a postings join on the 8-byte fingerprint hash (the
+    same architecture as token_jaccard's rarity postings), one
+    groupBy(doc_a, doc_b) count, fingerprint-count sides joined back.
+    ``max_posting`` drops fingerprints shared by more than that many
+    documents — boilerplate license headers / generated code in a
+    source-repo corpus would otherwise create quadratic candidates; with
+    the guard active the overlap is computed against unguarded sizes and
+    therefore UNDERESTIMATES (drops only boilerplate-borne evidence),
+    which is the conservative direction for a drop-list."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window)
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
+    posts = fps
+    if max_posting is not None:
+        hot = (
+            fps.groupBy("fp").agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_posting).select("fp")
+        )
+        posts = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = posts.select(F.col(id_col).alias("doc_a"), "fp")
+    b = posts.select(F.col(id_col).alias("doc_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"),
+                        F.col("sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"),
+                        F.col("sz").alias("_sz_b"))
+    overlap = (F.col("n_common").cast("double")
+               / F.least("_sz_a", "_sz_b").cast("double"))
+    return (
+        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .where(overlap >= threshold)
+        .select("doc_a", "doc_b", "n_common",
+                F.round(overlap, 6).alias("overlap"))
+    )
+
+
 def fingerprint(docs: DataFrame, id_col="doc_id",
                 text_col="text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact identity)

@@ -307,6 +307,24 @@ WITH t AS (
 )
 SELECT doc_id::BIGINT AS doc_id, unnest(fps)::BIGINT AS fp FROM m
 """
+    # MOSS containment pairs: the fingerprint oracle wrapped in a postings
+    # self-join + |common| / min-size containment at the query threshold
+    sql["text_winnow_overlap"] = f"""
+WITH fps AS ({sql["text_winnow_fingerprints"]}
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM fps GROUP BY 1
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, n_common,
+       round(n_common::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6) AS overlap
+FROM p
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / least(sa.sz, sb.sz)::DOUBLE >= 0.8
+"""
     sql["text_quality"] = f"""
 WITH b AS (
   SELECT doc_id::BIGINT AS doc_id, {norm} AS t, {toks} AS w FROM documents

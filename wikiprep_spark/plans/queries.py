@@ -357,6 +357,13 @@ def text_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_read(spark, sf_dir, "documents"))
 
 
+def text_winnow_overlap(spark, sf_dir):
+    # MOSS-style containment pairs over the winnowing fingerprints; the
+    # oracle recomputes the postings join + containment in pure SQL
+    return textops.winnow_overlap_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def text_lang_id(spark, sf_dir):
     return textops.lang_id(_read(spark, sf_dir, "documents"))
 
@@ -465,6 +472,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bpe_tokens": text_bpe_tokens,
     "text_winnow_fingerprints": text_winnow_fingerprints,
+    "text_winnow_overlap": text_winnow_overlap,
     "text_lang_id": text_lang_id,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
