@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -158,8 +159,10 @@ def main():
     # direction.  The headline is the median over pairs.
     pair_effs = [round((l["wall"] / h["wall"]) / 4.0, 4)
                  for l, h in zip(los, his)]
-    eff = sorted(pair_effs)[len(pair_effs) // 2] if len(pair_effs) % 2 \
-        else sorted(pair_effs)[len(pair_effs) // 2 - 1]
+    # statistics.median averages the two middle pairs for even counts —
+    # the lower-middle element is NOT the median and silently reports the
+    # worse pair when repeats == 2
+    eff = statistics.median(pair_effs)
 
     os.makedirs("BENCH", exist_ok=True)
     # preserve sections other tools append (e.g. tools_scale10.py's

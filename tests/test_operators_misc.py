@@ -394,6 +394,17 @@ def test_dup_losers_from_src_equivalence(spark):
         ("!wrap2", "w.xml", "c0", "wikitext",
          "<export><mediawiki>" + _row(1005, "Dup W2", "text w2")[4]
          + "</mediawiki></export>"),
+        # duplicate id OVERFLOWING int64 (ADVICE r4): both paths must
+        # reject it identically — python parse raises (page_id null),
+        # the JVM candidate scan try_casts it to NULL — so neither path
+        # produces a loser and the frames stay equal; with plain int()/
+        # cast the python side would accept what the JVM side nulls
+        ("!huge", "a.xml", "c0", "wikitext",
+         "<page><title>Huge A</title><id>99999999999999999999</id>"
+         "<revision><text>ha</text></revision></page>"),
+        ("!huge", "b.xml", "c0", "wikitext",
+         "<page><title>Huge B</title><id>99999999999999999999</id>"
+         "<revision><text>hb</text></revision></page>"),
     ]
     dup = spark.createDataFrame(
         dup_rows,
@@ -780,6 +791,26 @@ def test_parse_page_record_single_wrap_only():
             "<export><mediawiki>%s</mediawiki></export>" % inner)
 
 
+def test_parse_page_record_id_bigint_grammar():
+    """The python id rule must match the JVM side exactly (ADVICE r4):
+    ids outside BIGINT range (which from_xml's BIGINT field nulls out,
+    and which would overflow the parsed table's long column) and int()
+    extensions like '1_2' underscore separators are REJECTED, not
+    silently accepted to diverge from the src-scan dup path."""
+    from wikiprep_spark.sources.mediawiki_xml import parse_page_record
+
+    def rec(id_literal):
+        return ("<page><title>T</title><id>%s</id>"
+                "<revision><text>b</text></revision></page>" % id_literal)
+
+    assert parse_page_record(rec("007"))["id"] == 7
+    assert parse_page_record(rec(" 42 "))["id"] == 42  # cast trims
+    assert parse_page_record(rec(str(2 ** 63 - 1)))["id"] == 2 ** 63 - 1
+    for bad in (str(2 ** 63), str(10 ** 25), "1_2", "0x10", "4.0", ""):
+        with pytest.raises(ValueError):
+            parse_page_record(rec(bad))
+
+
 def _make_jpeg(w, h, progressive=False, precision=8, ncomp=3):
     """Minimal structurally-valid JPEG header stream: SOI, APP0/JFIF, DQT,
     SOFn, EOI (no entropy data — the dimension walk never reads it)."""
@@ -813,6 +844,13 @@ def test_decode_jpeg_meta_real():
     for bad in (b"\xff\xd8\xff\xe0jpegish",
                 b"\xff\xd8\xff\xda\x00\x04\x01\x00",
                 b"\xff\xd8\xff\xd9"):
+        with pytest.raises(ValueError):
+            multimodal.decode_jpeg_meta(bad)
+    # payloads ending inside a 0xFF fill-byte run must raise ValueError —
+    # the documented contract — not IndexError from reading past the end
+    # (ADVICE r4: the fill-skip loop could advance pos to len-1)
+    for bad in (b"\xff\xd8\xff", b"\xff\xd8\xff\xff",
+                b"\xff\xd8\xff\xff\xff", b"\xff\xd8\xff\xe0\x00\x02\xff"):
         with pytest.raises(ValueError):
             multimodal.decode_jpeg_meta(bad)
 

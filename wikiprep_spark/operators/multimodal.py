@@ -140,8 +140,11 @@ def decode_jpeg_meta(payload: bytes) -> dict | None:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1  # fill bytes before a marker are legal
+        if pos + 2 > len(payload):
+            # payload ends inside a 0xFF fill run — no marker byte left
+            raise ValueError("truncated JPEG marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any SOF
             break

@@ -82,17 +82,22 @@ def dup_losers_from_src(src_pages: DataFrame) -> DataFrame:
     seq = F.concat_ws("\x00", "repo", "path", "commit").alias("seq")
     # cast each candidate to BIGINT before distinct/grouping so literal
     # variants of the same numeric id ('007' vs '7') collide — matching the
-    # int() id rule of both parse_page_record and the from_xml verify; a
-    # string-keyed grouping would let such a duplicate escape the scan
+    # id rule of both parse_page_record and the from_xml verify; a
+    # string-keyed grouping would let such a duplicate escape the scan.
+    # try_cast (not cast): an id literal overflowing int64 yields NULL on
+    # BOTH the default and ANSI dialects (plain cast throws under
+    # spark.sql.ansi.enabled), and parse_page_record rejects such ids too,
+    # so both paths drop oversized ids identically; the NULLs are filtered
+    # rather than grouped so they can't manufacture phantom candidates.
     cands = src_pages.select(
         seq,
         F.explode(
             F.array_distinct(F.expr(
                 r"transform(regexp_extract_all(content,"
                 r" '<id[^>]*>\\s*(\\d+)\\s*</id>', 1),"
-                r" x -> cast(x AS BIGINT))"))
+                r" x -> try_cast(x AS BIGINT))"))
         ).alias("cid"),
-    )
+    ).where(F.col("cid").isNotNull())
     dup_cand = (
         cands.groupBy("cid").agg(F.count("*").alias("n"))
         .where(F.col("n") > 1).select("cid")

@@ -10,6 +10,7 @@ Parse::MediaWikiDump exposes to the reference (title, id, timestamp, text —
 from __future__ import annotations
 
 import hashlib
+import re
 import xml.etree.ElementTree as ET
 
 
@@ -42,11 +43,24 @@ def parse_page_record(content: str) -> dict:
     page_id_text = el.findtext("id")
     if page_id_text is None:
         raise ValueError("page without <id>")
+    # exactly the JVM cast-from-string grammar (trimmed, optional sign,
+    # digits) — bare int() also accepts '1_2' (underscore separators),
+    # which from_xml's BIGINT field would null out instead
+    if not re.fullmatch(r"[+-]?\d+", page_id_text.strip()):
+        raise ValueError("non-numeric page <id>")
+    page_id = int(page_id_text)
+    # ids outside int64 are rejected, not silently accepted: the parsed
+    # table's page_id column is BIGINT and the JVM-side dup-id verify
+    # (operators/prescan.py try_cast ... AS BIGINT) nulls such ids out —
+    # accepting them here would let the python parse path and the src-scan
+    # dup-loser path diverge on the same record (and overflow Arrow).
+    if not (-(2 ** 63) <= page_id < 2 ** 63):
+        raise ValueError("page <id> outside BIGINT range")
     rev = el.find("revision")
     timestamp = rev.findtext("timestamp") if rev is not None else None
     text = rev.findtext("text") if rev is not None else None
     return {
-        "id": int(page_id_text),
+        "id": page_id,
         "title": title,
         "timestamp": timestamp,
         "text": text,
