@@ -25,6 +25,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
 
+
+def _warmup_dir() -> str:
+    """Tiny corpus for the out-of-window warm-ups.  Prefers the sf0.001
+    sibling of SF_DIR (smallest driver-generated scale) but degrades to
+    SF_DIR itself on hosts without the full sf ladder — the warm-up
+    callers all bound their input with limit()/maxFiles, so warming from
+    the measured corpus is merely slower, not wrong."""
+    env = os.environ.get("SPARK_GRAFT_WARMUP_DIR")
+    if env:
+        return env
+    sib = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    return sib if os.path.isdir(sib) else SF_DIR
+
 # trusted per-query seconds from the prior round (sf0.1/local[32]); a
 # measurement exceeding OUTLIER_FACTOR x its entry is treated as
 # host-noise contamination and re-measured (round 2 shipped a 6.6x
@@ -225,8 +238,10 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     }
 
 
-def _bench_near_dedup(spark, sf_dir):
-    """Near-dup operators at production thresholds.
+def _bench_near_dedup(spark, sf_dir, docs=None):
+    """Near-dup operators at production thresholds.  ``docs`` overrides
+    the documents table (tools_scale10.py passes a synthesized >10x
+    corpus; embedding queries still read sf_dir).
 
     The synthetic documents share a ~30-word vocabulary, so unigram sets
     are nearly identical across all docs and every pair is a genuine
@@ -244,7 +259,8 @@ def _bench_near_dedup(spark, sf_dir):
 
     from wikiprep_spark.operators import dedup, similarity, textops
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def pair_cols(df):
@@ -283,10 +299,14 @@ def _bench_near_dedup(spark, sf_dir):
     }
 
 
-def run_kg_pipeline(spark, sf_dir: str, replicate: int):
+def run_kg_pipeline(spark, sf_dir: str, replicate: int,
+                    dict_mode: str = "inmem"):
     """Fused two-pass pipeline over a pre-materialized source table (the
     production configuration: input synthesis excluded from the measured
-    window, stage outputs written to a work dir as on a cluster)."""
+    window, stage outputs written to a work dir as on a cluster).
+    ``dict_mode="pruned"`` benches the bounded-worker-memory dictionary
+    side-load (row-group binary search) instead of the in-memory dicts —
+    the scale path for title2id beyond ~10^7 entries."""
     import shutil
     import tempfile
 
@@ -301,7 +321,8 @@ def run_kg_pipeline(spark, sf_dir: str, replicate: int):
     t0 = time.time()
     src = spark.read.parquet(src_path)
     result = run_pipeline(spark, src, work_dir=os.path.join(tmp, "work"),
-                          resume=False, fuse_parse=True)
+                          resume=False, fuse_parse=True,
+                          dict_mode=dict_mode)
     n_pages = result["_counts"]["transformed"]
     n_triples = result["_counts"]["triples"]
     wall = time.time() - t0
@@ -309,6 +330,49 @@ def run_kg_pipeline(spark, sf_dir: str, replicate: int):
     # the scratch dir once the numbers are in hand
     shutil.rmtree(tmp, ignore_errors=True)
     return wall, n_pages, n_triples, result
+
+
+# clean-window recovery: when a query ends its first measurement
+# contaminated (accepted min > 1.5x prior beyond what the CPU probe
+# explains), the host was slow for its whole retry envelope.  Numbers
+# from slow windows are useless to every future reader, so the harness
+# spends extra wall time re-running JUST the contaminated set after long
+# settles, hoping to catch a clean host window.  A pass is only burned
+# when the probe says the host is fast again (within PROBE_CLEAN_RATIO of
+# trusted); if the host never offers a clean window the artifact says so
+# explicitly (clean_window_exhausted) instead of shipping silence.
+CLEAN_WINDOW_PASSES = 2
+PROBE_CLEAN_RATIO = 1.2
+CLEAN_WINDOW_WAIT = 600.0
+
+
+def _clean_window_recovery(records: dict, runners: dict,
+                           expected: dict) -> dict:
+    trusted = _load_probe_trusted()
+    info = {"passes": 0, "recovered": [], "skipped_dirty_window": 0}
+    for _ in range(CLEAN_WINDOW_PASSES):
+        bad = [n for n, r in records.items() if r["contaminated"]]
+        if not bad:
+            break
+        _settle(max_wait=CLEAN_WINDOW_WAIT)
+        if trusted and _cpu_probe() > PROBE_CLEAN_RATIO * trusted:
+            # host still in a slow window — wait once more, then re-check;
+            # burning a pass on a dirty window can't produce a clean sample
+            time.sleep(120)
+            if _cpu_probe() > PROBE_CLEAN_RATIO * trusted:
+                info["skipped_dirty_window"] += 1
+                continue
+        info["passes"] += 1
+        for name in bad:
+            fn, observed = runners[name]
+            m2 = _measure(fn, name, expected, observed=observed)
+            if m2["sec"] < records[name]["sec"]:
+                records[name] = m2
+                if not m2["contaminated"]:
+                    info["recovered"].append(name)
+    info["exhausted"] = [n for n, r in records.items()
+                         if r["contaminated"]]
+    return info
 
 
 def main():
@@ -324,27 +388,13 @@ def main():
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     expected = _load_expected()
-    queries: dict = {}
-    retried: dict = {}
-    loadavg: dict = {}
-    contaminated: list = []
+    records: dict = {}          # name -> accepted measurement dict
+    runners: dict = {}          # name -> (fn, observed) for re-measurement
     settle_timeouts: list = []
-    total = 0.0
 
-    probe_ms: dict = {}
-
-    def record(name: str, m: dict):
-        nonlocal total
-        queries[name] = round(m["sec"], 3)
-        loadavg[name] = m["load"]
-        probe_ms[name] = m["probe_ms"]
-        total += m["sec"]
-        if m["retries"]:
-            retried[name] = m["retries"]
-        if m["contaminated"]:
-            contaminated.append(name)
-        if m["settle_timeout"]:
-            settle_timeouts.append(name)
+    def record(name: str, fn, observed=None):
+        runners[name] = (fn, observed)
+        records[name] = _measure(fn, name, expected, observed=observed)
 
     # warm-up OUTSIDE the measured window: spawn the python worker pool,
     # JIT the hot JVM paths and compile the codegen kernels on a tiny
@@ -354,21 +404,27 @@ def main():
     from wikiprep_spark.plans.pipeline import run_pipeline as _rp
     from wikiprep_spark.sources.corpus import build_src_pages as _bsp
 
-    warm = _rp(spark, _bsp(spark, "/root/testdata/sf0.001", limit=60),
+    wdir = _warmup_dir()
+    warm = _rp(spark, _bsp(spark, wdir, limit=60),
                fuse_parse=False, persist=False)
     warm["triples"].write.format("noop").mode("overwrite").save()
 
-    # warm the STREAMING engine too (micro-batch executor, state store,
-    # sink init) — the first streaming query of a session otherwise pays
-    # engine startup inside its measured window
+    # warm the STREAMING engine too — BOTH stateful paths: the first
+    # streaming query of a session pays micro-batch-engine startup, and
+    # the first applyInPandasWithState query additionally pays state-store
+    # + stateful-python-worker init that the dropDuplicates path does not
+    # touch (r4's streaming priors were set from a window where that init
+    # had been amortized elsewhere; warm it explicitly)
     import shutil
     import tempfile
 
-    wtmp = tempfile.mkdtemp(prefix="wikiprep_bench_warm_")
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
-        .limit(20).write.parquet(os.path.join(wtmp, "in"))
+    from pyspark.sql import functions as F
+
     from wikiprep_spark.streaming import ingest as _ingest
 
+    wtmp = tempfile.mkdtemp(prefix="wikiprep_bench_warm_")
+    spark.read.parquet(f"{wdir}/documents.parquet") \
+        .limit(20).write.parquet(os.path.join(wtmp, "in"))
     wq = (_ingest.streaming_exact_dedup(
         spark.readStream.schema(
             spark.read.parquet(os.path.join(wtmp, "in")).schema
@@ -378,6 +434,18 @@ def main():
         .option("checkpointLocation", os.path.join(wtmp, "ckpt"))
         .outputMode("append").trigger(availableNow=True).start())
     wq.awaitTermination(120)
+    spark.read.parquet(f"{wdir}/events.parquet") \
+        .limit(200).write.parquet(os.path.join(wtmp, "in_ev"))
+    wev = spark.readStream.schema(
+        spark.read.parquet(os.path.join(wtmp, "in_ev")).schema
+    ).parquet(os.path.join(wtmp, "in_ev")).select(
+        F.col("user_id"), F.col("ts").cast("timestamp").alias("ts"))
+    wq2 = (_ingest.sessionize_events(wev, gap_seconds=1800)
+           .writeStream.format("parquet")
+           .option("path", os.path.join(wtmp, "out_ev"))
+           .option("checkpointLocation", os.path.join(wtmp, "ckpt_ev"))
+           .outputMode("append").trigger(availableNow=True).start())
+    wq2.awaitTermination(120)
     shutil.rmtree(wtmp, ignore_errors=True)
 
     if not _settle():  # don't start the measured window on a loaded host
@@ -385,17 +453,26 @@ def main():
 
     # kg pipeline: the wall is measured INSIDE run_kg_pipeline (input
     # synthesis excluded), so the guard watches the inner wall via the
-    # `observed` hook
+    # `observed` hook.  Measured in both dictionary modes: inmem (the
+    # default) and pruned (bounded-worker-memory row-group side-load —
+    # correctness-gated since r4, perf-gated here so a regression in the
+    # pruned reader can't hide behind the inmem number).
     kg = {}
 
     def kg_run():
         kg["wall"], kg["pages"], kg["triples"], _ = run_kg_pipeline(
             spark, SF_DIR, REPLICATE)
 
-    record("kg_pipeline", _measure(kg_run, "kg_pipeline", expected,
-                                   observed=lambda: kg["wall"]))
-    kg_wall, n_pages, n_triples = queries["kg_pipeline"], kg["pages"], \
-        kg["triples"]
+    record("kg_pipeline", kg_run, observed=lambda: kg["wall"])
+
+    kgp = {}
+
+    def kg_run_pruned():
+        kgp["wall"], *_rest = run_kg_pipeline(
+            spark, SF_DIR, REPLICATE, dict_mode="pruned")
+
+    record("kg_pipeline_pruned", kg_run_pruned,
+           observed=lambda: kgp["wall"])
 
     def run_query(name):
         # construction INSIDE the measured window: iterative operators
@@ -405,20 +482,65 @@ def main():
             "noop").mode("overwrite").save()
 
     for name in BENCH_QUERIES:
-        record(name, _measure(run_query(name), name, expected))
+        record(name, run_query(name))
 
     def run_build(build):
         return lambda: build().write.format("noop").mode("overwrite").save()
 
     for name, build in _bench_near_dedup(spark, SF_DIR).items():
-        record(name, _measure(run_build(build), name, expected))
+        record(name, run_build(build))
 
     streaming = _bench_streaming(spark, SF_DIR)
     stream_stats = streaming.pop("_stats")
     cleanup = streaming.pop("_cleanup")
     for name, fn in streaming.items():
-        record(name, _measure(fn, name, expected))
+        record(name, fn)
+
+    # clean-window recovery BEFORE tearing down the streaming inputs —
+    # contaminated streaming queries re-run against the same backlog
+    clean_info = _clean_window_recovery(records, runners, expected)
     cleanup()
+
+    line, diag = assemble_artifacts(
+        records, kg["pages"], kg["triples"], sf,
+        stream_stats=stream_stats, clean_info=clean_info,
+        settle_timeouts=settle_timeouts)
+    if diag["contaminated_queries"]:
+        print("BENCH CONTAMINATED (host noise, not a regression): %s"
+              % ",".join(diag["contaminated_queries"]), file=sys.stderr)
+    diag_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             DIAG_RELPATH)
+    os.makedirs(os.path.dirname(diag_path), exist_ok=True)
+    with open(diag_path, "w") as fh:
+        json.dump(diag, fh, indent=1, sort_keys=True)
+    print(line)
+    spark.stop()
+
+
+# the grading driver captures a bounded TAIL of stdout (~2000 chars); a
+# line longer than that loses its head — including the opening brace — and
+# the artifact records parsed:null (this killed BENCH_r04).  Keep the
+# driver line at most this long, always.
+MAX_LINE_CHARS = 1900
+DIAG_RELPATH = os.path.join("BENCH", "bench_diag.json")
+
+
+def assemble_artifacts(records: dict, n_pages: int, n_triples: int,
+                       sf: str, stream_stats=None, clean_info=None,
+                       settle_timeouts=(), replicate=None,
+                       cpus=None) -> tuple:
+    """Pure assembly of the two bench outputs: the compact driver line
+    (headline + per-query seconds + contamination stamp ONLY) and the
+    diagnostics sidecar (loadavg, CPU probes, retries, streaming stats,
+    clean-window recovery).  Split out so the line-length invariant is
+    unit-testable without running Spark — r4's lesson is that diagnostics
+    must never ride the driver line."""
+    queries = {n: round(r["sec"], 3) for n, r in records.items()}
+    contaminated = [n for n, r in records.items() if r["contaminated"]]
+    retried = {n: r["retries"] for n, r in records.items() if r["retries"]}
+    timeouts = list(settle_timeouts) + [
+        n for n, r in records.items() if r["settle_timeout"]]
+    kg_wall = queries["kg_pipeline"]
 
     out = {
         "metric": "kg_pages_per_sec",
@@ -426,41 +548,53 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "total_sec": round(total, 3),
+        "total_sec": round(sum(r["sec"] for r in records.values()), 3),
         "kg_pages": n_pages,
         "kg_triples": n_triples,
-        "replicate": REPLICATE,
-        "cpus": CPUS,
-        # 1-min loadavg and CPU-probe ms at the start of each query's
-        # accepted (minimum) sample — the contamination evidence lives in
-        # the artifact itself.  Compare probe_ms against the trusted
-        # "_probe_ms" entry of bench_expected.json: probe at trusted speed
-        # + query slow = real regression; probe slow = host-slow window.
-        "loadavg": loadavg,
-        "probe_ms": probe_ms,
-        "probe_ms_trusted": _load_probe_trusted(),
+        "replicate": REPLICATE if replicate is None else replicate,
+        "cpus": CPUS if cpus is None else cpus,
+        "diag": DIAG_RELPATH,
     }
-    if retried:
-        # queries whose first sample exceeded 2x the trusted prior value
-        # and were re-measured (min kept) — nonempty means the host was
-        # noisy during this run
-        out["outlier_retries"] = retried
-    if settle_timeouts:
-        out["settle_timeouts"] = settle_timeouts
-    if stream_stats:
-        out["streaming_stats"] = stream_stats
     if contaminated:
         # HARD stamp: these queries' accepted minimum still exceeds 1.5x
-        # the trusted prior after escalating settles + retries.  The
-        # numbers are host-noise, NOT a regression — do not compare this
-        # artifact against priors or previous rounds (rounds 2 and 3 each
-        # shipped unstamped garbage; this is the fix)
+        # the trusted prior (beyond the probe-explained allowance) after
+        # escalating settles, retries AND the clean-window recovery
+        # passes.  The numbers are host-noise, NOT a regression — do not
+        # compare this artifact against priors or previous rounds.
         out["contaminated"] = True
         out["contaminated_queries"] = contaminated
-        print("BENCH CONTAMINATED (host noise, not a regression): %s"
-              % ",".join(contaminated), file=sys.stderr)
-    print(json.dumps(out))
-    spark.stop()
+
+    diag = {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "replicate": out["replicate"],
+        # 1-min loadavg and CPU-probe ms at the start of each query's
+        # accepted (minimum) sample — compare probe_ms against
+        # probe_ms_trusted: probe at trusted speed + query slow = real
+        # regression; probe slow = host-slow window, not comparable
+        "loadavg": {n: r["load"] for n, r in records.items()},
+        "probe_ms": {n: r["probe_ms"] for n, r in records.items()},
+        "probe_ms_trusted": _load_probe_trusted(),
+        "outlier_retries": retried,
+        "settle_timeouts": timeouts,
+        "streaming_stats": stream_stats or {},
+        "clean_window": clean_info or {},
+        "contaminated_queries": contaminated,
+        "queries": queries,
+    }
+
+    line = json.dumps(out)
+    if len(line) > MAX_LINE_CHARS:
+        # degrade rather than overflow: the full list is in the sidecar
+        out["contaminated_queries"] = len(contaminated)
+        line = json.dumps(out)
+    if len(line) > MAX_LINE_CHARS:
+        # still too long can only mean an enormous query set; keep the
+        # headline parseable and point at the sidecar for the rest
+        out["queries"] = {"kg_pipeline": queries["kg_pipeline"]}
+        line = json.dumps(out)
+    return line, diag
 
 
 if __name__ == "__main__":

@@ -938,3 +938,37 @@ def test_winnow_overlap_pairs(spark):
                    many, threshold=0.5, max_posting=10).collect()}
     assert (1, 2) in guarded
     assert not any(a >= 100 and b >= 100 for a, b in guarded)
+
+
+def test_synth_documents_distribution_and_planted_dups(spark):
+    """The scale-corpus synthesizer must (a) be deterministic, (b) match
+    the driver testdata's documents shape/distribution, (c) plant sparse
+    one-word near-duplicates (not replication's identical clusters), and
+    (d) stay pure JVM codegen — a python stage in the generator would
+    pollute the data-scale measurements it exists for."""
+    from wikiprep_spark.sources.corpus import _DOC_VOCAB, synth_documents
+
+    df = synth_documents(spark, 1000)
+    rows = df.orderBy("doc_id").collect()
+    assert rows == synth_documents(spark, 1000).orderBy("doc_id").collect()
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,"
+        "n_chars:bigint>")
+    vocab = set(_DOC_VOCAB)
+    for r in rows[:50]:
+        words = r.text.split()
+        assert 10 <= len(words) <= 100
+        assert set(words) <= vocab
+        assert r.n_chars == len(r.text)
+    assert {r.lang for r in rows} == {"en", "zh", "es", "fr", "de"}
+    # planted near-dups: doc (200k-1) differs from doc (200k-2) in at
+    # most one position (the substitute may coincide with the original)
+    for k in (199, 399, 599, 799, 999):
+        a, b = rows[k - 1].text.split(), rows[k].text.split()
+        assert len(a) == len(b)
+        assert sum(x != y for x, y in zip(a, b)) <= 1
+    # non-planted neighbors are NOT near-identical
+    a, b = rows[10].text.split(), rows[11].text.split()
+    assert len(a) != len(b) or sum(x != y for x, y in zip(a, b)) > 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InMemory" not in plan

@@ -28,7 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench import _bench_near_dedup, _cpu_probe, _settle, run_kg_pipeline
+from bench import (_bench_near_dedup, _cpu_probe, _settle, _warmup_dir,
+                   run_kg_pipeline)
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # kg replication levels; override e.g. SPARK_GRAFT_SCALE_REPS=2000 for a
@@ -48,7 +49,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # steady-state warmup outside every measured window
-    warm = _rp(spark, _bsp(spark, "/root/testdata/sf0.001", limit=60),
+    warm = _rp(spark, _bsp(spark, _warmup_dir(), limit=60),
                fuse_parse=False, persist=False)
     warm["triples"].write.format("noop").mode("overwrite").save()
     _settle()
@@ -78,6 +79,34 @@ def main():
                 res[name] = {"sec": round(time.time() - t0, 2), "pairs": n}
             out["lsh"][sf.rsplit("/", 1)[1]] = res
             _settle()
+
+        # 10x beyond the sf ladder: 50k DISTINCT synthesized docs (same
+        # vocabulary/length distribution, planted sparse near-dups — NOT
+        # replication, which manufactures degenerate duplicate clusters).
+        # Materialized to parquet first so the measured window contains
+        # only the dedup operators, like the sf levels above.
+        import shutil
+        import tempfile
+
+        from wikiprep_spark.sources.corpus import synth_documents
+
+        n_synth = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "50000"))
+        stmp = tempfile.mkdtemp(prefix="wikiprep_synth_docs_")
+        synth_documents(spark, n_synth).repartition(CPUS).write.parquet(
+            os.path.join(stmp, "docs"))
+        sdocs = spark.read.parquet(os.path.join(stmp, "docs"))
+        builders = _bench_near_dedup(spark, "/root/testdata/sf0.1",
+                                     docs=sdocs)
+        res = {}
+        for name in ("dedup_minhash_lsh_sh3", "dedup_near_groups_sh3",
+                     "dedup_token_jaccard_sh3"):
+            t0 = time.time()
+            df = builders[name]()
+            n = df.count()
+            res[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        out["lsh"][f"synth{n_synth}"] = res
+        shutil.rmtree(stmp, ignore_errors=True)
+        _settle()
 
         out["kg"]["scale_ratio"] = round(
             out["kg"][f"rep{REPS[-1]}"]["pages_per_sec"]

@@ -177,3 +177,81 @@ def build_src_pages(
 
     static = spark.createDataFrame(static_rows(), schema=schema)
     return pages.unionByName(static)
+
+
+# the driver testdata's documents vocabulary (TESTDATA.md; 31 words) — the
+# synthesizer below reproduces its distribution so operators tuned on the
+# sf ladder behave identically on synthesized scale-up corpora
+_DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+
+def synth_documents(spark: SparkSession, n_docs: int,
+                    dup_every: int = 200, seed: int = 7) -> DataFrame:
+    """Deterministic DISTINCT-document synthesizer at arbitrary scale in
+    the driver testdata's ``documents`` distribution (31-word vocabulary,
+    10-100 words/doc, 5 langs at ~40% en, 20 sources).  Every
+    ``dup_every``-th doc is a planted near-duplicate of its predecessor
+    (one word substituted), so near-dup operators see a real, sparse
+    signal at every scale — REPLICATING the corpus instead manufactures
+    degenerate all-identical clusters and quadratic pair output, a
+    different workload entirely.
+
+    Pure JVM codegen (spark.range + hash-seeded higher-order functions):
+    no python rows, no shuffle, no driver loop — synthesizing 10^9 docs
+    is embarrassingly parallel, which is what makes the >10x data-scale
+    measurements in tools_scale10.py possible.
+    """
+    from pyspark.sql import functions as F
+
+    vocab = "array(" + ",".join("'%s'" % w for w in _DOC_VOCAB) + ")"
+    langs = ("array(" + ",".join(
+        "'%s'" % l for l in ["en"] * 8 + ["zh"] * 3 + ["es"] * 3
+        + ["fr"] * 3 + ["de"] * 3) + ")")
+    df = (
+        spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        .withColumn(
+            "is_dup",
+            (F.col("doc_id") % dup_every == dup_every - 1)
+            & (F.col("doc_id") > 0))
+        .withColumn(
+            "base",
+            F.when(F.col("is_dup"), F.col("doc_id") - 1)
+            .otherwise(F.col("doc_id")))
+        .withColumn(
+            "n_words",
+            F.expr(f"cast(pmod(xxhash64('n', base, {seed}), 91) as int)"
+                   " + 10"))
+        .withColumn(
+            "words",
+            F.expr(
+                f"transform(sequence(1, n_words), i -> element_at({vocab},"
+                f" cast(pmod(xxhash64('w', base, i, {seed}), 31) as int)"
+                " + 1))"))
+        # the planted near-dup substitutes ONE position of its base's word
+        # stream (may coincide with the original word ~1/31 of the time,
+        # which plants an exact duplicate — also a case dedup must handle)
+        .withColumn(
+            "words",
+            F.expr(
+                "transform(words, (w, i) -> if(is_dup AND i + 1 = "
+                f"cast(pmod(xxhash64('m', doc_id, {seed}), n_words) as int)"
+                f" + 1, element_at({vocab},"
+                f" cast(pmod(xxhash64('x', doc_id, {seed}), 31) as int)"
+                " + 1), w))"))
+    )
+    return df.select(
+        "doc_id",
+        F.array_join("words", " ").alias("text"),
+        F.expr(f"element_at({langs},"
+               f" cast(pmod(xxhash64('l', doc_id, {seed}), 20) as int)"
+               " + 1)").alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.expr(f"cast(pmod(xxhash64('s', doc_id, {seed}), 20) as int)")
+        ).alias("source"),
+        F.length(F.array_join("words", " ")).cast("long").alias("n_chars"),
+    )
