@@ -579,9 +579,57 @@ FROM (
     return sql
 
 
+def streaming_oracles():
+    """DuckDB twins for the driver-gated streaming backlog queries
+    (plans/queries.py stream_*_backlog).
+
+    stream_dedup_backlog: the streaming state guarantees exactly one
+    output row per distinct normalized-content hash across micro-batches;
+    the twin is the distinct key set.
+
+    stream_sessionize_backlog: the backlog is time-split, so the stateful
+    fold reproduces batch gap-sessionization; emitted rows are CLOSED
+    sessions == every session but each user's last.  The running session
+    id uses RANGE (not ROWS) so duplicate-timestamp peers share a session
+    id regardless of tie order."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    sql = {}
+    sql["stream_dedup_backlog"] = f"""
+SELECT DISTINCT md5({norm}) AS content_md5
+FROM documents WHERE doc_id IS NOT NULL
+"""
+    sql["stream_sessionize_backlog"] = """
+WITH t AS (
+  -- floor, not round: Spark's timestamp->long cast truncates the
+  -- fractional second, DuckDB's epoch()::BIGINT would round it
+  SELECT user_id::BIGINT AS u, floor(epoch(ts))::BIGINT AS t
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), b AS (
+  SELECT u, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+              THEN 1 ELSE 0 END AS nb
+  FROM t WINDOW w AS (PARTITION BY u ORDER BY t)
+), g AS (
+  SELECT u, t,
+         sum(nb) OVER (PARTITION BY u ORDER BY t
+                       RANGE UNBOUNDED PRECEDING) AS sid
+  FROM b
+), s AS (
+  SELECT u, sid, min(t) AS session_start, max(t) AS session_end,
+         count(*)::BIGINT AS n_events
+  FROM g GROUP BY u, sid
+)
+SELECT u AS user_id, session_start, session_end, n_events
+FROM s
+WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.u = s.u)
+"""
+    return sql
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
     out.update(TPCH_ORACLES)
     out.update(textops_oracles())
+    out.update(streaming_oracles())
     return out

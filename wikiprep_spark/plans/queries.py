@@ -436,6 +436,97 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(emb, queries, dim=dim, k=5)
 
 
+# --- streaming (driver-gated over a finite backlog) ----------------------
+
+def _stream_backlog(spark, halves):
+    """Materialize a deterministic 2-micro-batch file backlog: each half
+    lands as one parquet file, written sequentially so FileStreamSource's
+    oldest-first modification-time order replays half 0 before half 1
+    (maxFilesPerTrigger=1 -> exactly two micro-batches, state carried
+    across the boundary)."""
+    import os
+    import tempfile
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="wikiprep_stream_q_")
+    data = os.path.join(tmp, "in")
+    for i, half in enumerate(halves):
+        half.coalesce(1).write.mode("append").parquet(data)
+        if i + 1 < len(halves):
+            _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(data).schema)
+        .option("maxFilesPerTrigger", 1).parquet(data)
+    )
+    return tmp, data, stream
+
+
+def _drain(transformed, tmp):
+    """Run the streaming query to completion over the backlog
+    (availableNow) and hand back the materialized result."""
+    import os
+
+    out = os.path.join(tmp, "out")
+    q = (
+        transformed.writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    return os.path.join(out, "data")
+
+
+def stream_dedup_backlog(spark, sf_dir):
+    """Streaming exact dedup drained over a 2-micro-batch backlog.
+
+    The surviving ROW per key inside one micro-batch is task-order
+    dependent (dropDuplicates keeps whichever arrives first), so the
+    driver-gated projection is the key set itself: exactly one output row
+    per distinct normalized-content hash across ALL micro-batches — the
+    property the cross-batch dedup state must guarantee (no loss at the
+    batch boundary, no re-emission of a key seen in an earlier batch).
+    Documents are split doc_id-even/odd so duplicate groups straddle the
+    boundary."""
+    from wikiprep_spark.streaming import ingest
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull())
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    tmp, _, stream = _stream_backlog(spark, halves)
+    out = _drain(ingest.streaming_exact_dedup(stream), tmp)
+    return spark.read.parquet(out).select("content_md5")
+
+
+def stream_sessionize_backlog(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState) drained
+    over a time-split 2-micro-batch backlog: events at or before the exact
+    median timestamp replay first, the rest second, so open sessions at
+    the cut carry across the micro-batch boundary in state and the fold
+    reproduces batch gap-sessionization exactly.  Emitted rows are the
+    CLOSED sessions (the open tail per user stays in state), which the
+    DuckDB twin expresses as every session but each user's last."""
+    from wikiprep_spark.streaming import ingest
+
+    events = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("ts_sec", F.col("ts").cast("long"))
+    )
+    cutoff = events.selectExpr(
+        "percentile(ts_sec, 0.5) AS m").collect()[0]["m"]
+    halves = [
+        events.where(F.col("ts_sec") <= cutoff),
+        events.where(F.col("ts_sec") > cutoff),
+    ]
+    tmp, _, stream = _stream_backlog(spark, halves)
+    out = _drain(
+        ingest.sessionize_events(stream, gap_seconds=1800), tmp)
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events")
+
+
 QUERIES = {
     "kg_links": kg_links,
     "kg_anchors": kg_anchors,
@@ -480,4 +571,6 @@ QUERIES = {
     "sim_near_dup_exact": sim_near_dup_exact,
     "sim_near_dup_groups": sim_near_dup_groups,
     "sim_ivf_topk": sim_ivf_topk,
+    "stream_dedup_backlog": stream_dedup_backlog,
+    "stream_sessionize_backlog": stream_sessionize_backlog,
 }
