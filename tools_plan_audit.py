@@ -179,6 +179,34 @@ def cheap_targets(spark, sf=SF):
             {"max_shuffles": 0, "forbid": ["BatchEvalPython",
                                            "ArrowEvalPython"]},
         ),
+        # Gopher repetition stats: sorted-array linear passes as HOF
+        # expressions — zero shuffle, zero python
+        "cur_repetition": (
+            Q.cur_repetition(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
+        # PII scrub: chained regexp projections — codegen only
+        "cur_pii_scrub": (
+            Q.cur_pii_scrub(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
+        # decontamination: eval gram set must BROADCAST into a semi-join
+        # (the train side is the 100 TB one); shuffles are the per-doc hit
+        # agg + the dense per-doc output join only
+        "cur_decontaminate": (
+            Q.cur_decontaminate(spark, sf),
+            {"min_broadcast": 1, "max_shuffles": 2, "max_sortmerge": 1,
+             "require": ["LeftSemi"],
+             "forbid": ["BatchEvalPython", "ArrowEvalPython"]},
+        ),
+        # deterministic sampling: pure filter-projection, zero shuffle
+        "cur_sample": (
+            Q.cur_sample(spark, sf),
+            {"max_shuffles": 0, "forbid": ["BatchEvalPython",
+                                           "ArrowEvalPython"]},
+        ),
     }
 
 

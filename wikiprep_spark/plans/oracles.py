@@ -579,6 +579,139 @@ FROM (
     return sql
 
 
+def curation_oracles():
+    """DuckDB twins for the corpus-curation operators
+    (operators/curation.py).  The Spark side computes the repetition /
+    n-gram statistics with sorted-array linear passes inside higher-order
+    functions; the twins recompute the same quantities the relational way
+    (unnest + group by), so a bug in the HOF state machines cannot hide."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    sql = {}
+
+    # Gopher repetition stats: duplicate-line fractions + the token share
+    # of the single most frequent bigram/trigram
+    def gram_cte(n):
+        joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+        return f"""
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - {n - 1}), i -> {joined})) AS g
+      FROM b WHERE len(w) >= {n})
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+"""
+
+    sql["cur_repetition"] = f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split({norm}, ' ') AS w
+  FROM documents
+), lc AS (
+  SELECT doc_id, ln, count(*) AS c, length(ln) AS l
+  FROM (SELECT doc_id, unnest(lines) AS ln FROM b)
+  GROUP BY doc_id, ln
+), ls AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dl,
+         sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)::BIGINT AS dc,
+         sum(c * l)::BIGINT AS total_chars
+  FROM lc GROUP BY doc_id
+), g2 AS ({gram_cte(2)}), g3 AS ({gram_cte(3)})
+SELECT b.doc_id, ls.n_lines,
+       round(ls.dl::DOUBLE / ls.n_lines, 6) AS dup_line_frac,
+       round(ls.dc::DOUBLE / greatest(ls.total_chars, 1), 6)
+         AS dup_line_char_frac,
+       coalesce(round(2.0 * g2.m / len(b.w), 6), 0.0) AS top_bigram_frac,
+       coalesce(round(3.0 * g3.m / len(b.w), 6), 0.0) AS top_trigram_frac
+FROM b JOIN ls USING (doc_id)
+LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+"""
+
+    # PII scrub: patterns are RE2-safe (no lookaround/backrefs), so Java
+    # regex and RE2 agree on every span; counts are staged exactly like
+    # the Spark side (emails on raw text, IPs post-email, phones post-IP)
+    from wikiprep_spark.operators.curation import (
+        PII_EMAIL, PII_IPV4, PII_PHONE,
+    )
+
+    sql["cur_pii_scrub"] = f"""
+WITH s1 AS (
+  SELECT doc_id::BIGINT AS doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t1, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t2, '{PII_PHONE}'))::BIGINT AS n_phones,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text
+FROM s2
+"""
+
+    # decontamination: recompute the md5-60bit 5-gram hashes (1-indexed
+    # lists here vs 0-indexed Spark arrays) so the HASHED match set —
+    # not just the string grams — is what's gated
+    hex_fold = ("list_reduce(list_transform(generate_series(1, 15), "
+                "q -> strpos('0123456789abcdef', substr(gmd5, q, 1)) - 1), "
+                "(a, b) -> a * 16 + b)")
+    g5 = " || ' ' || ".join(f"w[i + {j}]" for j in range(5))
+    sql["cur_decontaminate"] = f"""
+WITH tk AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+), ge AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - 4), i -> {g5})) AS g
+  FROM tk WHERE len(w) >= 5
+), gh AS (
+  SELECT DISTINCT doc_id, {hex_fold} AS gram
+  FROM (SELECT doc_id, md5(g) AS gmd5 FROM ge)
+), ev AS (
+  SELECT DISTINCT gram FROM gh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT gh.doc_id, count(*)::BIGINT AS n_shared_ngrams
+  FROM gh JOIN ev USING (gram) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(h.n_shared_ngrams, 0)::BIGINT AS n_shared_ngrams,
+       (coalesce(h.n_shared_ngrams, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+    # stratified sample: fold the first 4 md5 hex digits of 'sample:<id>'
+    # into the [0,10000) bucket and apply the per-language keep rates
+    from wikiprep_spark.operators.curation import (
+        _BUCKETS, SAMPLE_DEFAULT_RATE, SAMPLE_RATES,
+    )
+
+    bucket_fold = ("list_reduce(list_transform(generate_series(1, 4), "
+                   "q -> strpos('0123456789abcdef', substr(bmd5, q, 1)) - 1),"
+                   " (a, b) -> a * 16 + b)")
+    whens = " ".join(
+        f"WHEN '{lg}' THEN {int(rate * _BUCKETS)}"
+        for lg, rate in sorted(SAMPLE_RATES.items())
+    )
+    sql["cur_sample"] = f"""
+WITH b AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         ({bucket_fold} % {_BUCKETS})::BIGINT AS bucket
+  FROM (SELECT doc_id, lang,
+               md5('sample:' || doc_id::VARCHAR) AS bmd5 FROM documents)
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang {whens}
+               ELSE {int(SAMPLE_DEFAULT_RATE * _BUCKETS)} END
+"""
+    return sql
+
+
 def streaming_oracles():
     """DuckDB twins for the driver-gated streaming backlog queries
     (plans/queries.py stream_*_backlog).
@@ -631,5 +764,6 @@ def all_oracles():
     out.update(KG_ORACLES)
     out.update(TPCH_ORACLES)
     out.update(textops_oracles())
+    out.update(curation_oracles())
     out.update(streaming_oracles())
     return out

@@ -13,7 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from wikiprep_spark.operators import dedup, graph, similarity, textops
+from wikiprep_spark.operators import (
+    curation, dedup, graph, similarity, textops,
+)
 from wikiprep_spark.plans.pipeline import run_pipeline
 from wikiprep_spark.sources.corpus import build_src_pages
 
@@ -436,6 +438,36 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(emb, queries, dim=dim, k=5)
 
 
+# --- corpus curation (training-data hygiene) ------------------------------
+
+def cur_repetition(spark, sf_dir):
+    # Gopher-style repetition signals; the oracle recomputes the duplicate
+    # -line and top-n-gram fractions with unnest+groupBy instead of the
+    # sorted-array linear pass
+    return curation.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def cur_pii_scrub(spark, sf_dir):
+    # RE2-safe patterns make the scrubbed TEXT itself (not just the
+    # counts) byte-comparable against the DuckDB twin
+    return curation.pii_scrub(_read(spark, sf_dir, "documents"))
+
+
+def cur_decontaminate(spark, sf_dir):
+    # the "benchmark" is a deterministic slice of the corpus itself
+    # (doc_id % 97 == 0) so the query needs no side input; the member
+    # docs are trivially contaminated, the interesting signal is which
+    # OTHER documents share a 5-gram with them
+    docs = _read(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.ngram_decontaminate(docs, eval_docs, n=5)
+
+
+def cur_sample(spark, sf_dir):
+    # deterministic md5-bucket stratified downsampling by language
+    return curation.stratified_sample(_read(spark, sf_dir, "documents"))
+
+
 # --- streaming (driver-gated over a finite backlog) ----------------------
 
 def _stream_backlog(spark, halves):
@@ -571,6 +603,10 @@ QUERIES = {
     "sim_near_dup_exact": sim_near_dup_exact,
     "sim_near_dup_groups": sim_near_dup_groups,
     "sim_ivf_topk": sim_ivf_topk,
+    "cur_repetition": cur_repetition,
+    "cur_pii_scrub": cur_pii_scrub,
+    "cur_decontaminate": cur_decontaminate,
+    "cur_sample": cur_sample,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
 }
