@@ -207,6 +207,15 @@ def cheap_targets(spark, sf=SF):
             {"max_shuffles": 0, "forbid": ["BatchEvalPython",
                                            "ArrowEvalPython"]},
         ),
+        # BM25: the isin literal prunes tokens BEFORE the tf shuffle;
+        # idf/query maps broadcast back; two-phase top-k windows.
+        # Shuffle budget: tf agg + df agg + score agg + 2 window
+        # exchanges (AQE may coalesce); nothing corpus-wide beyond tf.
+        "text_bm25_topk": (
+            Q.text_bm25_topk(spark, sf),
+            {"min_broadcast": 1, "max_shuffles": 6, "max_sortmerge": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython"]},
+        ),
     }
 
 

@@ -164,6 +164,73 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    damping: float = 0.85, iterations: int = 5, round_to: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank with uniform dangling-mass redistribution
+    over a directed edge set (pairs must be distinct — parallel edges
+    would double-count contributions).  Returns (node, rank) with rank
+    rounded to ``round_to`` decimals; per-iteration ranks are unrounded
+    doubles, and total mass is exactly 1 per iteration up to float error
+    (the dangling term re-injects the rank of out-degree-0 nodes).
+
+    Scale shape: the edge list is joined with its out-degree table ONCE
+    outside the loop and checkpointed, so each iteration is one
+    src-keyed broadcast-or-shuffle join plus one dst-keyed aggregation —
+    the same two-exchange round as connected_components — with
+    ``localCheckpoint`` per round to cut lineage.  The dangling mass is a
+    map-side scalar aggregate (bounded driver pull, like the convergence
+    probes above).  Fixed iteration count (no convergence probe) keeps
+    the computation a closed deterministic function of the edge set, so
+    an unrolled relational twin can gate it exactly.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg"))
+    # (src, dst, deg): the loop-invariant join, materialized once
+    ew = e.join(outdeg, "src").localCheckpoint()
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    inv_n = 1.0 / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(inv_n))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        dm = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.sum("rank")).first()[0]
+        ) or 0.0
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) * inv_n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0))
+                       + F.lit(dm * inv_n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
 def redirect_canonical_map(redirects: DataFrame) -> DataFrame:
     """Full redirect closure (north-rule canonicalization): follow redirect
     chains of any length to their terminal title.  Input: the raw

@@ -759,6 +759,117 @@ WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.u = s.u)
     return sql
 
 
+def pagerank_oracle(damping=0.85, iterations=5):
+    """Relational twin of operators/graph.py pagerank over the closed-form
+    kg_links edge set: the five iterations are UNROLLED as chained CTEs
+    (one contribution aggregate + one dangling-mass scalar per round), so
+    the gate covers the exact fixed-point arithmetic, not just the final
+    shape.  Float expressions mirror the Spark side operation-for-
+    operation ((1.0-d)*inv, dm*inv with inv = 1.0/n) so the only
+    cross-engine drift is aggregate summation order — absorbed by the
+    final round(6), same contract as the curation fractions."""
+    edges = ("SELECT source_id AS src, target_id AS dst FROM ("
+             + KG_ORACLES["kg_links"] + ")")
+    d = repr(damping)
+    sql = f"""
+WITH edges AS ({edges}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+prc AS (SELECT 1.0/count(*) AS inv FROM nodes),
+odeg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, inv AS rank FROM nodes CROSS JOIN prc)"""
+    for k in range(1, iterations + 1):
+        p = f"r{k - 1}"
+        sql += f""",
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank/o.deg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.node
+  JOIN odeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM {p} r LEFT JOIN odeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+r{k} AS (
+  SELECT n.node,
+         (1.0-{d})*prc.inv
+           + {d}*(coalesce(c.contrib, 0.0) + d{k}.dm*prc.inv) AS rank
+  FROM nodes n CROSS JOIN prc CROSS JOIN d{k}
+  LEFT JOIN c{k} c ON n.node = c.node
+)"""
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM r{iterations}
+"""
+    return sql
+
+
+def bm25_oracle(k=10):
+    """Relational twin of operators/retrieval.py bm25_topk: same
+    normalized tokens, same literal query-term filter, tf/df/idf/score
+    recomputed with unnest + group by, score expression mirroring the
+    Spark float-op order term-for-term, round(6) before ranking with the
+    same (score DESC, doc_id ASC) tiebreak."""
+    from wikiprep_spark.operators.retrieval import (
+        BM25_B, BM25_K1, DEFAULT_QUERIES,
+    )
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in DEFAULT_QUERIES.items()
+        for t in dict.fromkeys(q.split())
+    )
+    all_terms = sorted({t for q in DEFAULT_QUERIES.values()
+                        for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    one_minus_b = repr(1.0 - BM25_B)  # Spark folds (1.0 - b) in Python
+    return f"""
+WITH qt AS (
+  SELECT * FROM (VALUES {qvals}) t(query_id, term)
+),
+ex AS (
+  SELECT doc_id::BIGINT AS doc_id, len(w)::DOUBLE AS dl,
+         unnest(w) AS term
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents)
+),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, max(dl) AS dl FROM ex GROUP BY doc_id)
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, max(dl) AS dl
+  FROM ex WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((st.n_docs - df) + 0.5)/(df + 0.5)) AS idf
+  FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+  CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id,
+         round(sum(((idf.idf*tf.tf)*({k1}+1.0))
+                   / (tf.tf + {k1}*({one_minus_b}
+                                    + (({b}*tf.dl)/st.avgdl)))), 6)
+           AS score
+  FROM tf JOIN idf USING (term) JOIN qt USING (term) CROSS JOIN st
+  GROUP BY query_id, doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, score,
+       rnk::INTEGER AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM sc)
+WHERE rnk <= {k}
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -766,4 +877,6 @@ def all_oracles():
     out.update(textops_oracles())
     out.update(curation_oracles())
     out.update(streaming_oracles())
+    out["graph_pagerank"] = pagerank_oracle()
+    out["text_bm25_topk"] = bm25_oracle()
     return out

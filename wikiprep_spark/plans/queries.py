@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wikiprep_spark.operators import (
-    curation, dedup, graph, similarity, textops,
+    curation, dedup, graph, retrieval, similarity, textops,
 )
 from wikiprep_spark.plans.pipeline import run_pipeline
 from wikiprep_spark.sources.corpus import build_src_pages
@@ -215,6 +215,23 @@ def graph_components(spark, sf_dir):
     )
     _ = region  # region nodes appear as e2 dst
     return graph.connected_components(e1.unionByName(e2))
+
+
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the knowledge-graph link edges (the
+    canonical use of the link table the reference materializes); the
+    oracle unrolls the same five iterations relationally over the
+    closed-form edge set."""
+    links = kg_pipeline(spark, sf_dir)["links"]
+    return graph.pagerank(
+        links.select(F.col("source_id").alias("src"),
+                     F.col("target_id").alias("dst")))
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval of documents for deterministic probe queries;
+    scores rounded before ranking, doc_id tiebreak, two-phase top-k."""
+    return retrieval.bm25_topk(_read(spark, sf_dir, "documents"))
 
 
 # --- TPC-H-ish relational coverage ---------------------------------------
@@ -580,6 +597,8 @@ QUERIES = {
     "kg_anchors_fused": kg_anchors_fused,
     "graph_closure": graph_closure,
     "graph_components": graph_components,
+    "graph_pagerank": graph_pagerank,
+    "text_bm25_topk": text_bm25_topk,
     "q1_pricing_summary": q1_pricing_summary,
     "q_join_revenue_by_nation": q_join_revenue_by_nation,
     "q_window_top_order": q_window_top_order,
