@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "cur_decontaminate",
     "cur_sample",
     "text_bm25_topk",
+    "text_lm_ppl",
+    "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1
     # would re-run ~20s of upstream inside this query's measured window —

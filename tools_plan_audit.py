@@ -216,6 +216,24 @@ def cheap_targets(spark, sf=SF):
             {"min_broadcast": 1, "max_shuffles": 6, "max_sortmerge": 0,
              "forbid": ["BatchEvalPython", "ArrowEvalPython"]},
         ),
+        # as-of join: union + carry-forward window — ZERO joins of any
+        # kind; shuffles are the right-side (key, ts) dedup agg plus the
+        # key-partitioned window exchange
+        "q_asof_attribution": (
+            Q.q_asof_attribution(spark, sf),
+            {"max_shuffles": 3, "max_sortmerge": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "BroadcastHashJoin", "ShuffledHashJoin",
+                        "BroadcastNestedLoopJoin"]},
+        ),
+        # bigram LM: two count aggs + scalar V on the model stream, then
+        # unique-key hash joins back into the scoring stream + final
+        # per-doc agg; nothing quadratic, no Python eval
+        "text_lm_ppl": (
+            Q.text_lm_ppl(spark, sf),
+            {"max_shuffles": 8, "min_broadcast": 1,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython"]},
+        ),
     }
 
 

@@ -870,6 +870,67 @@ WHERE rnk <= {k}
 """
 
 
+def lm_ppl_oracle(k=1.0):
+    """Relational twin of operators/lm.py lm_perplexity (self-perplexity
+    over documents): refits the add-k bigram model with unnest + group-by
+    and mirrors the scoring expression term-for-term; round(6) absorbs
+    summation-order drift (same contract as bm25_oracle)."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    kk = repr(k)
+    return f"""
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, (len(w) - 1)::DOUBLE AS n,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM tok WHERE len(w) >= 2
+),
+big AS (SELECT bigram, count(*)::DOUBLE AS c2 FROM ex GROUP BY bigram),
+ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, count(*)::DOUBLE AS c1
+  FROM ex GROUP BY 1
+),
+vv AS (
+  SELECT count(DISTINCT t)::DOUBLE AS v
+  FROM (SELECT unnest(w) AS t FROM tok)
+),
+sc AS (
+  SELECT e.doc_id, max(e.n) AS n,
+         sum(-ln((coalesce(b.c2, 0.0) + {kk})
+                 / (coalesce(c.c1, 0.0) + {kk} * vv.v))) AS nll
+  FROM ex e
+  LEFT JOIN big b USING (bigram)
+  LEFT JOIN ctx c ON split_part(e.bigram, ' ', 1) = c.w1
+  CROSS JOIN vv
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n::BIGINT AS n_bigrams, round(nll / n, 6) AS avg_nll,
+       round(exp(nll / n), 6) AS ppl
+FROM sc
+"""
+
+
+ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.purchase_us, v.view_id,
+       p.purchase_us - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -879,4 +940,8 @@ def all_oracles():
     out.update(streaming_oracles())
     out["graph_pagerank"] = pagerank_oracle()
     out["text_bm25_topk"] = bm25_oracle()
+    out["text_lm_ppl"] = lm_ppl_oracle()
+    # DuckDB's native ASOF JOIN — an independent implementation of the
+    # operator, not a transcription of the Spark union/carry-forward plan
+    out["q_asof_attribution"] = ASOF_ORACLE
     return out

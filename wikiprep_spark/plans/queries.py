@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wikiprep_spark.operators import (
-    curation, dedup, graph, retrieval, similarity, textops,
+    asof, curation, dedup, graph, lm, retrieval, similarity, textops,
 )
 from wikiprep_spark.plans.pipeline import run_pipeline
 from wikiprep_spark.sources.corpus import build_src_pages
@@ -485,6 +485,39 @@ def cur_sample(spark, sf_dir):
     return curation.stratified_sample(_read(spark, sf_dir, "documents"))
 
 
+def text_lm_ppl(spark, sf_dir):
+    """Bigram-LM self-perplexity per document (CCNet-style quality
+    signal); the oracle refits the identical add-k model relationally."""
+    return lm.lm_perplexity(_read(spark, sf_dir, "documents"))
+
+
+def q_asof_attribution(spark, sf_dir):
+    """As-of join: for each purchase event, the same user's most recent
+    view at-or-before it (classic attribution).  The Spark side is the
+    single-shuffle union/carry-forward merge formulation; the oracle is
+    DuckDB's NATIVE ASOF JOIN — a genuinely independent implementation
+    of the operator, not a transcription of this plan."""
+    # events.ts is TIMESTAMP_NTZ: epoch micros via wall-clock timestampdiff
+    # (session-timezone-independent, = DuckDB epoch_us on the naive value)
+    epoch_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts",
+        F.expr(epoch_us).alias("purchase_us"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+        F.expr(epoch_us).alias("view_us"))
+    return asof.asof_join(
+        purchases, views, on="user_id",
+        right_cols=("view_id", "view_us"),
+    ).select(
+        "purchase_id", "user_id", "purchase_us", "view_id",
+        (F.col("purchase_us") - F.col("view_us")).alias("gap_us"),
+    )
+
+
 # --- streaming (driver-gated over a finite backlog) ----------------------
 
 def _stream_backlog(spark, halves):
@@ -626,6 +659,8 @@ QUERIES = {
     "cur_pii_scrub": cur_pii_scrub,
     "cur_decontaminate": cur_decontaminate,
     "cur_sample": cur_sample,
+    "text_lm_ppl": text_lm_ppl,
+    "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
 }
