@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "cur_sample",
     "text_bm25_topk",
     "text_lm_ppl",
+    "text_pack_seqs",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

@@ -226,6 +226,16 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # sequence packing: the distributed prefix sum — range partition +
+        # pid-hash window shuffle of a 2-column stream; the ONLY allowed
+        # single-partition exchange is the P-row offset table (the naive
+        # global-window form would funnel all N rows through one task)
+        "text_pack_seqs": (
+            Q.text_pack_seqs(spark, sf),
+            {"max_shuffles": 4, "max_single_partition": 1,
+             "min_broadcast": 1, "max_sortmerge": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython"]},
+        ),
         # bigram LM: two count aggs + scalar V on the model stream, then
         # unique-key hash joins back into the scoring stream + final
         # per-doc agg; nothing quadratic, no Python eval

@@ -913,6 +913,33 @@ FROM sc
 """
 
 
+def pack_oracle(seq_len=2048):
+    """Relational twin of operators/packing.py pack_sequences: the oracle
+    USES the naive single-window global cumsum the Spark side must avoid
+    (one reducer is fine in DuckDB on test data) — same numbers, different
+    plan, which is exactly what makes it a useful gate for the distributed
+    prefix-sum."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split({norm}, ' '))::BIGINT AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, (cum - n)::BIGINT AS tok_start,
+       ((cum - n) // {seq_len})::BIGINT AS seq_first,
+       ((cum - 1) // {seq_len})::BIGINT AS seq_last
+FROM c
+"""
+
+
 ASOF_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts,
@@ -941,6 +968,7 @@ def all_oracles():
     out["graph_pagerank"] = pagerank_oracle()
     out["text_bm25_topk"] = bm25_oracle()
     out["text_lm_ppl"] = lm_ppl_oracle()
+    out["text_pack_seqs"] = pack_oracle()
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wikiprep_spark.operators import (
-    asof, curation, dedup, graph, lm, retrieval, similarity, textops,
+    asof, curation, dedup, graph, lm, packing, retrieval, similarity,
+    textops,
 )
 from wikiprep_spark.plans.pipeline import run_pipeline
 from wikiprep_spark.sources.corpus import build_src_pages
@@ -491,6 +492,13 @@ def text_lm_ppl(spark, sf_dir):
     return lm.lm_perplexity(_read(spark, sf_dir, "documents"))
 
 
+def text_pack_seqs(spark, sf_dir):
+    """Concat-and-chunk sequence packing placement via the distributed
+    prefix sum; the oracle uses the naive single-window global cumsum —
+    same numbers, single-reducer plan this side must not have."""
+    return packing.pack_sequences(_read(spark, sf_dir, "documents"))
+
+
 def q_asof_attribution(spark, sf_dir):
     """As-of join: for each purchase event, the same user's most recent
     view at-or-before it (classic attribution).  The Spark side is the
@@ -660,6 +668,7 @@ QUERIES = {
     "cur_decontaminate": cur_decontaminate,
     "cur_sample": cur_sample,
     "text_lm_ppl": text_lm_ppl,
+    "text_pack_seqs": text_pack_seqs,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
