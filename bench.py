@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "text_lm_ppl",
     "text_pack_seqs",
+    "dedup_passages",
+    "cur_dsir",
+    "text_chunks",
+    "graph_triangles",
+    "q_skew_events",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

@@ -226,6 +226,60 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # skew profile: map-side-combining count + distributed partial
+        # top-k (TakeOrderedAndProject required); only the final 20 rows
+        # may cross a single task (the rank window + totals broadcast)
+        "q_skew_events": (
+            Q.q_skew_events(spark, sf),
+            {"max_shuffles": 3, "max_single_partition": 2,
+             "require": ["TakeOrderedAndProject"],
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "SortMergeJoin"]},
+        ),
+        # triangle counting: HOF pair expansion (no lineitem self-join),
+        # degree-ordered wedge join + closing semi-join over the ONCE-
+        # checkpointed oriented edge list (deg + oriented each feed three
+        # consumers); joins may sort-merge (both sides are edge-scale)
+        # but nothing may cartesian, nothing funnels to one task, no
+        # Python
+        "graph_triangles": (
+            Q.graph_triangles(spark, sf),
+            {"max_shuffles": 7, "max_single_partition": 0,
+             "max_sortmerge": 8,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct", "BroadcastNestedLoopJoin"]},
+        ),
+        # sliding-window chunking: pure HOF projection + posexplode —
+        # nothing may shuffle, nothing may leave codegen
+        "text_chunks": (
+            Q.text_chunks(spark, sf),
+            {"max_shuffles": 0, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "Exchange", "Join"]},
+        ),
+        # DSIR: two bucket-count aggs + two scalar totals build a
+        # 4096-row log-ratio table on a complete spine; scoring is the
+        # broadcast of that table onto the exploded feature stream + one
+        # per-doc agg.  Single-partition exchanges are the two scalar
+        # totals (1-row aggs, the lm vocab pattern) — never the stream.
+        "cur_dsir": (
+            Q.cur_dsir(spark, sf),
+            {"max_shuffles": 8, "max_single_partition": 2,
+             "min_broadcast": 1,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]},
+        ),
+        # duplicate-passage detection: positions stream + dup-hash set
+        # meet on the 8-byte shingle hash; the island merge + span aggs +
+        # doc join all share the doc_id clustering.  No pair join exists
+        # anywhere (exact dedup needs no quadratic candidate step) and
+        # nothing funnels to one task.
+        "dedup_passages": (
+            Q.dedup_passages(spark, sf),
+            {"max_shuffles": 8, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct", "BroadcastNestedLoopJoin"]},
+        ),
         # sequence packing: the distributed prefix sum — range partition +
         # pid-hash window shuffle of a 2-column stream; the ONLY allowed
         # single-partition exchange is the P-row offset table (the naive

@@ -245,3 +245,97 @@ def stratified_sample(docs: DataFrame, rates: dict | None = None,
                     bucket.alias("bucket"))
         .where(F.col("bucket") < thresh)
     )
+
+
+# DSIR importance weighting (Xie et al., NeurIPS'23 "Data Selection for
+# Language Models via Importance Resampling"): hashed-ngram bag features
+DSIR_BUCKETS = 4096
+DSIR_ADD_K = 1.0
+
+
+def _dsir_feature_stream(docs: DataFrame, id_col: str, text_col: str,
+                         buckets: int) -> DataFrame:
+    """(id, b): one row per unigram AND bigram OCCURRENCE of the
+    normalized text, md5-60bit-hashed into [0, buckets) — DSIR's
+    bag-of-hashed-ngrams featurization.  Pure HOF expressions; the only
+    thing that ever shuffles downstream is the 8-byte bucket id."""
+    uni = f"transform(_dtoks, t -> {_hash60_sql('t')})"
+    bi_join = "_dtoks[i] || ' ' || _dtoks[i + 1]"
+    bi = (
+        f"CASE WHEN size(_dtoks) >= 2 THEN "
+        f"transform(sequence(0, size(_dtoks) - 2), i -> {_hash60_sql(bi_join)}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    feats = f"transform(concat({uni}, {bi}), h -> pmod(h, {buckets}))"
+    return (
+        docs.select(F.col(id_col),
+                    F.split(normalized_text(text_col), " ").alias("_dtoks"))
+        .select(F.col(id_col), F.explode(F.expr(feats)).alias("b"))
+    )
+
+
+def dsir_logweights(docs: DataFrame, target_docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    buckets: int = DSIR_BUCKETS,
+                    k: float = DSIR_ADD_K) -> DataFrame:
+    """DSIR data selection: score every document of ``docs`` by how much
+    more likely its hashed-ngram features are under the TARGET corpus
+    distribution than under the raw corpus's own —
+
+        log w(d) = sum over d's features f of
+                   ln p_target(bucket(f)) - ln p_source(bucket(f))
+
+    with add-k smoothed bucket multinomials.  ``resample_score`` adds a
+    deterministic Gumbel perturbation (from the md5 sampling bucket, the
+    stratified_sample construction), so Gumbel-top-k on it IS importance
+    resampling without replacement — reproducible across runs, engines
+    and partitionings, unlike rand()-based sampling.
+
+    Scale shape: both models are ``buckets``-row tables (two map-side-
+    combining aggs over the feature streams); scoring is one broadcast
+    join of that tiny table onto the exploded stream plus a per-doc agg —
+    the fit-small / score-everything pattern, same as lm_perplexity.  The
+    per-bucket log-ratio is materialized once on a complete bucket spine,
+    so the scoring join never misses.  Output:
+    (doc_id, n_feats, log_weight, resample_score), round(6) absorbing
+    summation-order float drift exactly like the BM25/LM oracles."""
+    spark = docs.sparkSession
+    src = _dsir_feature_stream(docs, id_col, text_col, buckets)
+    tgt = _dsir_feature_stream(target_docs, id_col, text_col, buckets)
+    cs = src.groupBy("b").agg(F.count("*").cast("double").alias("cs"))
+    ct = tgt.groupBy("b").agg(F.count("*").cast("double").alias("ct"))
+    ns = src.agg(F.count("*").cast("double").alias("ns"))
+    nt = tgt.agg(F.count("*").cast("double").alias("nt"))
+    spine = spark.range(buckets).select(F.col("id").alias("b"))
+    lam = (
+        spine.join(ct, "b", "left").join(cs, "b", "left")
+        .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0.0)) + k)
+                      / (F.col("nt") + k * buckets))
+                - F.log((F.coalesce("cs", F.lit(0.0)) + k)
+                        / (F.col("ns") + k * buckets))
+            ).alias("lam"),
+        )
+    )
+    gumbel_u = (
+        (F.expr(sample_bucket_sql(id_col, salt="dsir")) + F.lit(0.5))
+        / F.lit(float(_BUCKETS))
+    )
+    return (
+        src.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lam").alias("_lw"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.round("_lw", 6).alias("log_weight"),
+            F.round(F.col("_lw") - F.log(-F.log(gumbel_u)), 6)
+              .alias("resample_score"),
+        )
+    )

@@ -9,7 +9,7 @@ grouping keys.  Designed for the ``documents`` table shape
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Mersenne prime modulus: 31-bit so that a*h+b stays far from 64-bit
 # overflow (Spark 4 runs in ANSI mode and would raise on long overflow).
@@ -381,4 +381,109 @@ def simhash_dup_groups(docs: DataFrame, id_col="doc_id",
             F.count("*").cast("long").alias("n_docs"),
         )
         .where(F.col("n_docs") > 1)
+    )
+
+
+def dup_passages(docs: DataFrame, id_col="doc_id", text_col="text",
+                 k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Exact duplicate-PASSAGE statistics: for every document, how much of
+    it is verbatim text that also appears in at least ``min_docs`` distinct
+    documents (itself included), as maximal merged token spans.
+
+    This is the substring-granularity exact dedup of Lee et al., "Dedup-
+    licating Training Data Makes Language Models Better" (ACL'22): whole-
+    document hashing misses boilerplate, quotes, and licence blocks that
+    repeat across otherwise-distinct pages, and span statistics (not just
+    a boolean) let a curation policy cut at "drop docs that are >X%
+    duplicated passage".  Where the paper builds a monolithic suffix
+    array, the same k-token-resolution detector decomposes into relational
+    passes that shuffle 8-byte keys only:
+
+    1. every k-token shingle position -> (doc, pos, xxhash64(shingle)) —
+       a transform over the token array, then posexplode; the token array
+       itself is never replicated per position;
+    2. the duplicated-shingle set: hashes seen in >= min_docs DISTINCT
+       docs (two map-side-combining aggs on the hash key; no pair join
+       exists anywhere — unlike similarity ops, exact-dup detection needs
+       no quadratic candidate step, which is what makes it the cheap
+       first pass of a curation stack);
+    3. hash-join the positions stream against that set, then merge
+       overlapping/adjacent hits per document into maximal spans with one
+       gaps-and-islands window (both windows and both final aggs share
+       the doc_id partitioning: one exchange for the whole tail);
+    4. left-join back to the full document list so clean docs report
+       zeros.
+
+    Docs shorter than k tokens contribute their whole text as one shingle
+    (the ``_token_sets`` convention), with spans clamped to the document,
+    so short exact dups are still caught.  Output per input doc:
+    (doc_id, n_tokens, dup_tokens, dup_spans, dup_ratio)."""
+    toks = F.split(normalized_text(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+    ).select(
+        "doc_id", F.size("_t").cast("long").alias("n_tokens"), "_t",
+    )
+    seq = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_tokens").cast("int") - k + 1, F.lit(1)),
+    )
+    sh_arr = F.transform(
+        seq,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i, k))),
+    )
+    stream = base.select(
+        "doc_id", "n_tokens",
+        F.posexplode(sh_arr).alias("pos0", "h"),
+    ).select(
+        "doc_id", "n_tokens",
+        (F.col("pos0") + 1).alias("pos"), "h",
+    )
+    dup_set = (
+        stream.select("h", "doc_id").distinct()
+        .groupBy("h").agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = stream.join(dup_set, "h").select(
+        "doc_id", "pos",
+        F.least(F.col("pos") + k - 1, F.col("n_tokens")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islanded = hits.withColumn(
+        "_st",
+        (F.col("pos")
+         > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
+         ).cast("int"),
+    ).withColumn("island", F.sum("_st").over(w_run))
+    spans = (
+        islanded.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+              .alias("dup_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long")
+              .alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"), 6,
+            ).alias("dup_ratio"),
+        )
     )

@@ -57,3 +57,41 @@ def category_hierarchy(categories_edges: DataFrame) -> DataFrame:
         categories_edges.groupBy(F.col("category_id").alias("parent_id"))
         .agg(F.array_sort(F.collect_list("page_id")).alias("member_ids"))
     )
+
+
+def key_skew_stats(df, key_cols, top_k: int = 20):
+    """Heavy-hitter profile of a prospective shuffle key: the ``top_k``
+    most frequent key values with their absolute counts and share of the
+    table, plus the global key cardinality riding every row.
+
+    This is the decision input for every skew defense in this repo (salted
+    two-phase aggs, LSH hub-bucket guards, AQE skew-join): at 100 TB you
+    measure a key's hub profile BEFORE joining on it, with a plan that is
+    itself skew-proof — per-key counts are one map-side-combining agg, the
+    top-k is a distributed partial TakeOrderedAndProject (no global sort),
+    and only the final ``top_k`` rows pass through a single task to pick
+    up ranks.  Deterministic tiebreak: count desc, key asc.
+
+    Output: (rank, key, cnt, share, total_rows, n_keys)."""
+    from pyspark.sql import Window, functions as F
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key").agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank", "key", F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            "total_rows", "n_keys",
+        )
+    )

@@ -223,3 +223,56 @@ def fingerprint(docs: DataFrame, id_col="doc_id",
             F.element_at(toks, -1),
         ).alias("shape_key"),
     )
+
+
+def chunk_documents(docs: DataFrame, id_col="doc_id", text_col="text",
+                    chunk_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / long-context
+    pretraining step that turns each document into fixed-size overlapping
+    token windows with stable ids and offsets.
+
+    Chunk k covers token span [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short, and the
+    chunk count is the smallest K+1 with K*stride + chunk_tokens >= n (no
+    fully-redundant trailing window).  Every document yields at least one
+    chunk (empty text -> one empty chunk), so the operator is total.
+
+    Scale shape: a pure higher-order-function projection + posexplode —
+    ZERO shuffles, zero Python; the chunk text is materialized from the
+    token array per row, never joined.  Downstream embedding/indexing
+    stages consume (doc_id, chunk_id) as a composite key."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(normalized_text(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_w"),
+    ).select("doc_id", F.size("_w").alias("_n"), "_w")
+    n_extra = F.greatest(
+        F.ceil((F.col("_n") - chunk_tokens)
+               / F.lit(float(stride))).cast("int"),
+        F.lit(0),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_extra),
+        lambda k: F.struct(
+            (k * stride).alias("start"),
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), k * stride + 1, chunk_tokens)
+            ).alias("txt"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("_n") - k * stride).alias("m"),
+        ),
+    )
+    return (
+        base.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start").cast("long").alias("chunk_start"),
+            F.col("c.m").cast("long").alias("n_tokens"),
+            F.col("c.txt").alias("chunk_text"),
+        )
+    )

@@ -940,6 +940,212 @@ FROM c
 """
 
 
+SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+), t AS (
+  SELECT sum(cnt)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+  FROM c
+), top AS (
+  SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, key ASC)::BIGINT AS rank,
+       key, cnt,
+       round(cnt::DOUBLE / t.total_rows, 6) AS share,
+       t.total_rows, t.n_keys
+FROM top CROSS JOIN t
+"""
+
+
+TRIANGLES_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey AS ok, l_partkey::BIGINT AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT l1.p AS a, l2.p AS b
+  FROM li l1 JOIN li l2 ON l1.ok = l2.ok AND l1.p < l2.p
+), deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY 1
+), tri AS (
+  -- id-ordering enumeration (a<b everywhere, so x<y<z counts each
+  -- triangle once); the Spark side uses degree-ordered orientation
+  -- instead — same triangle set, different (skew-safe) plan
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree,
+       coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(pn.n_triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pn USING (node)
+"""
+
+
+def chunks_oracle(chunk_tokens=32, overlap=8):
+    """Relational twin of operators/textops.py chunk_documents at the
+    driver query's window size: same window algebra (stride, smallest
+    covering K, truncated last slice), chunk text compared byte-exact."""
+    s = chunk_tokens - overlap
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, len(w) AS n, w FROM t
+), c AS (
+  SELECT doc_id, n, w,
+         unnest(generate_series(
+           0, greatest(ceil((n - {chunk_tokens}) / {s}.0)::INT, 0))) AS k
+  FROM n
+)
+SELECT doc_id, k::BIGINT AS chunk_id,
+       (k * {s})::BIGINT AS chunk_start,
+       least({chunk_tokens}, n - k * {s})::BIGINT AS n_tokens,
+       array_to_string(w[k * {s} + 1:k * {s} + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def dsir_oracle(buckets=4096, k=1.0):
+    """Relational twin of operators/curation.py dsir_logweights with the
+    driver query's target slice (lang = 'en'): recompute the hashed-ngram
+    bucket multinomials, the add-k log-ratio on a complete bucket spine,
+    and the per-doc feature-sum — float ops mirrored term-for-term, the
+    final round(6) absorbing summation-order drift (the LM/BM25
+    contract).  The deterministic Gumbel uses the md5 sampling-bucket
+    fold, same as the stratified-sample twin."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    hex_fold = ("list_reduce(list_transform(generate_series(1, 15), "
+                "q -> strpos('0123456789abcdef', substr(gmd5, q, 1)) - 1), "
+                "(a, b) -> a * 16 + b)")
+    gumbel_fold = ("list_reduce(list_transform(generate_series(1, 4), "
+                   "q -> strpos('0123456789abcdef', substr(bmd5, q, 1)) - 1),"
+                   " (a, b) -> a * 16 + b)")
+    bi = ("unnest(list_transform(generate_series(1, len(w) - 1), "
+          "i -> w[i] || ' ' || w[i + 1]))")
+
+    def feats(src):
+        return f"""
+  SELECT doc_id, ({hex_fold} % {buckets})::BIGINT AS b
+  FROM (SELECT doc_id, md5(g) AS gmd5 FROM (
+    SELECT doc_id, unnest(w) AS g FROM {src}
+    UNION ALL
+    SELECT doc_id, {bi} AS g FROM {src} WHERE len(w) >= 2))
+"""
+
+    return f"""
+WITH dt AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+), tt AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents WHERE lang = 'en'
+), fs AS ({feats("dt")}
+), ft AS ({feats("tt")}
+), cs AS (
+  SELECT b, count(*)::DOUBLE AS c FROM fs GROUP BY b
+), ct AS (
+  SELECT b, count(*)::DOUBLE AS c FROM ft GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM fs)::DOUBLE AS ns,
+         (SELECT count(*) FROM ft)::DOUBLE AS nt
+), lam AS (
+  SELECT r.range::BIGINT AS b,
+         ln((coalesce(ct.c, 0) + {k}) / (tot.nt + {k} * {buckets}))
+         - ln((coalesce(cs.c, 0) + {k}) / (tot.ns + {k} * {buckets}))
+           AS lam
+  FROM range({buckets}) r
+  LEFT JOIN ct ON ct.b = r.range
+  LEFT JOIN cs ON cs.b = r.range
+  CROSS JOIN tot
+), sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lam) AS lw
+  FROM fs JOIN lam USING (b) GROUP BY 1
+), gu AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (({gumbel_fold} % 10000) + 0.5) / 10000.0 AS u
+  FROM (SELECT doc_id, md5('dsir:' || doc_id::VARCHAR) AS bmd5
+        FROM documents)
+)
+SELECT sc.doc_id, sc.n_feats, round(sc.lw, 6) AS log_weight,
+       round(sc.lw - ln(-ln(gu.u)), 6) AS resample_score
+FROM sc JOIN gu USING (doc_id)
+"""
+
+
+def dup_passages_oracle(k=8, min_docs=2):
+    """Relational twin of operators/dedup.py dup_passages.  Joins on the
+    raw k-token shingle STRING (DuckDB, small data) where the engine
+    shuffles xxhash64 keys — same output absent a 64-bit collision; the
+    gaps-and-islands merge is the same algebra on both sides."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens, w FROM t
+), s AS (
+  SELECT doc_id, n_tokens, w,
+         unnest(generate_series(1, greatest(n_tokens - {k} + 1, 1))) AS pos
+  FROM n
+), sh AS (
+  SELECT doc_id, n_tokens, pos,
+         array_to_string(w[pos:pos + {k} - 1], ' ') AS g
+  FROM s
+), dup AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g
+  ) WHERE nd >= {min_docs}
+), m AS (
+  SELECT doc_id, n_tokens, pos,
+         least(pos + {k} - 1, n_tokens) AS e
+  FROM sh JOIN dup USING (g)
+), isl AS (
+  SELECT doc_id, n_tokens, pos, e,
+         CASE WHEN pos > coalesce(
+                max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS st
+  FROM m
+), isl2 AS (
+  SELECT doc_id, n_tokens, pos, e,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+  FROM isl
+), sp AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+  FROM isl2 GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_spans,
+         sum(e - s + 1)::BIGINT AS dup_tokens
+  FROM sp GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(a.dup_spans, 0)::BIGINT AS dup_spans,
+       round(coalesce(a.dup_tokens, 0)::DOUBLE / n.n_tokens::DOUBLE, 6)
+         AS dup_ratio
+FROM n LEFT JOIN agg a USING (doc_id)
+"""
+
+
 ASOF_ORACLE = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts,
@@ -969,6 +1175,11 @@ def all_oracles():
     out["text_bm25_topk"] = bm25_oracle()
     out["text_lm_ppl"] = lm_ppl_oracle()
     out["text_pack_seqs"] = pack_oracle()
+    out["dedup_passages"] = dup_passages_oracle()
+    out["cur_dsir"] = dsir_oracle()
+    out["text_chunks"] = chunks_oracle()
+    out["graph_triangles"] = TRIANGLES_ORACLE
+    out["q_skew_events"] = SKEW_ORACLE
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

@@ -492,6 +492,66 @@ def text_lm_ppl(spark, sf_dir):
     return lm.lm_perplexity(_read(spark, sf_dir, "documents"))
 
 
+def q_skew_events(spark, sf_dir):
+    """Heavy-hitter profile of events.user_id — the measure-before-you-
+    shuffle input to every skew defense; top-k via distributed partial
+    TakeOrderedAndProject, only the final 20 rows cross one task."""
+    from wikiprep_spark.operators.stats import key_skew_stats
+
+    return key_skew_stats(_read(spark, sf_dir, "events"), ["user_id"], 20)
+
+
+def graph_triangles(spark, sf_dir):
+    """Triangle counts + local clustering over the part co-order graph
+    (parts appearing in the same order are linked).  Edge generation is a
+    per-order sorted-set pair expansion inside HOFs — no self-join of the
+    lineitem fact; the triangle join itself uses degree-ordered
+    orientation (Suri-Vassilvitskii) so no hub part becomes the last
+    reducer."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("p"),
+    )
+    ps = li.groupBy("ok").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        ps.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_counts(edges)
+
+
+def text_chunks(spark, sf_dir):
+    """Sliding-window chunking at (32, 8) — sized so the testdata docs
+    (10-99 tokens) really produce overlapping multi-chunk output: every
+    document becomes token windows with stable (doc_id, chunk_id) keys.
+    Zero-shuffle pure-codegen projection."""
+    return textops.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)
+
+
+def cur_dsir(spark, sf_dir):
+    """DSIR importance weights toward the English slice of the corpus:
+    fit hashed-ngram bucket multinomials on target (lang='en') and source
+    (everything), score every doc by the summed log-ratio, and attach the
+    deterministic-Gumbel resampling score."""
+    docs = _read(spark, sf_dir, "documents")
+    return curation.dsir_logweights(docs, docs.where(F.col("lang") == "en"))
+
+
+def dedup_passages(spark, sf_dir):
+    """Substring-granularity exact dedup (Lee et al. ACL'22): per-doc
+    maximal duplicated-passage spans at 8-token resolution.  The oracle
+    twin joins on raw shingle strings where the engine shuffles xxhash64
+    keys — identical output absent a 64-bit collision."""
+    return dedup.dup_passages(_read(spark, sf_dir, "documents"), k=8)
+
+
 def text_pack_seqs(spark, sf_dir):
     """Concat-and-chunk sequence packing placement via the distributed
     prefix sum; the oracle uses the naive single-window global cumsum —
@@ -669,6 +729,11 @@ QUERIES = {
     "cur_sample": cur_sample,
     "text_lm_ppl": text_lm_ppl,
     "text_pack_seqs": text_pack_seqs,
+    "dedup_passages": dedup_passages,
+    "cur_dsir": cur_dsir,
+    "text_chunks": text_chunks,
+    "graph_triangles": graph_triangles,
+    "q_skew_events": q_skew_events,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
