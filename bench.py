@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "text_chunks",
     "graph_triangles",
     "q_skew_events",
+    "sketch_hll_users",
+    "sketch_cms_heavy",
+    "sim_semantic_dedup",
+    "text_entity_mentions",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

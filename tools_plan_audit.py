@@ -226,6 +226,42 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # HLL sketch: two map-side-combining aggs onto a <= 4096-per-
+        # group register space — NOTHING may join and nothing funnels
+        "sketch_hll_users": (
+            Q.sketch_hll_users(spark, sf),
+            {"max_shuffles": 2, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
+        # CMS: one fixed-keyspace build agg + TakeOrderedAndProject
+        # top-k + broadcast-only probe joins (the sketch is <= 4096 rows)
+        "sketch_cms_heavy": (
+            Q.sketch_cms_heavy(spark, sf),
+            {"max_shuffles": 6, "max_single_partition": 0,
+             "min_broadcast": 4,
+             "require": ["TakeOrderedAndProject"],
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "SortMergeJoin", "CartesianProduct"]},
+        ),
+        # SemDeDup: literal-quantizer assignment (projection, no join),
+        # one cluster window + cluster-keyed pair join; seeds are a
+        # bounded TakeOrderedAndProject driver pull at build time
+        "sim_semantic_dedup": (
+            Q.sim_semantic_dedup(spark, sf),
+            {"max_shuffles": 6, "max_single_partition": 0,
+             "max_sortmerge": 4,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct", "BroadcastNestedLoopJoin"]},
+        ),
+        # entity linking: HOF n-gram scan, ONCE-checkpointed
+        # mention x dictionary join, doc-keyed containment self-join
+        "text_entity_mentions": (
+            Q.text_entity_mentions(spark, sf),
+            {"max_shuffles": 5, "max_single_partition": 0,
+             "max_sortmerge": 4,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct", "BroadcastNestedLoopJoin"]},
+        ),
         # skew profile: map-side-combining count + distributed partial
         # top-k (TakeOrderedAndProject required); only the final 20 rows
         # may cross a single task (the rank window + totals broadcast)

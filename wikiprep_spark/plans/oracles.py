@@ -1164,6 +1164,192 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+def hll_oracle():
+    """Relational twin of operators/sketches.hll_distinct over events
+    (distinct users per day): same md5 registers (hex fold), same integer
+    two-power harmonic sum (bit-exact across engines), and the estimator
+    expression is THE SAME LITERAL TEXT as the Spark side
+    (sketches.HLL_EST_EXPR) so the double arithmetic folds identically."""
+    from wikiprep_spark.operators.sketches import HLL_EST_EXPR
+
+    f3 = ("list_reduce(list_transform(generate_series(1, 3), "
+          "q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1), "
+          "(a, b) -> a * 16 + b)")
+    f12 = ("list_reduce(list_transform(generate_series(4, 15), "
+           "q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1), "
+           "(a, b) -> a * 16 + b)")
+    return f"""
+WITH h AS (
+  SELECT ts::DATE AS day,
+         md5('hll:' || user_id::VARCHAR) AS hx
+  FROM events
+), rt AS (
+  SELECT day, {f3} AS reg, {f12} AS tail FROM h
+), mr AS (
+  SELECT day, reg,
+         max(CASE WHEN tail = 0 THEN 49
+                  ELSE 49 - length(bin(tail)) END) AS max_rho
+  FROM rt GROUP BY day, reg
+), g AS (
+  SELECT day,
+         (sum(1::BIGINT << (49 - max_rho))
+          + (4096 - count(*)) * 562949953421312)::BIGINT AS sum_int,
+         (4096 - count(*))::BIGINT AS zeros,
+         count(*)::BIGINT AS registers_used
+  FROM mr GROUP BY day
+)
+SELECT day, {HLL_EST_EXPR} AS hll_distinct, registers_used FROM g
+"""
+
+
+CMS_ORACLE = """
+WITH k AS (
+  SELECT user_id::VARCHAR AS key FROM events
+), b AS (
+  SELECT key, i, md5('cms' || i::VARCHAR || ':' || key) AS hx
+  FROM k CROSS JOIN range(4) t(i)
+), bb AS (
+  SELECT key, i,
+         list_reduce(list_transform(generate_series(1, 3),
+           q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1),
+           (a, b) -> a * 16 + b) % 1024 AS bucket
+  FROM b
+), sk AS (
+  SELECT i, bucket, count(*)::BIGINT AS cnt FROM bb GROUP BY 1, 2
+), ex AS (
+  SELECT key, count(*)::BIGINT AS exact_cnt FROM k GROUP BY 1
+  ORDER BY exact_cnt DESC, key ASC LIMIT 20
+), pb AS (
+  SELECT key, i, md5('cms' || i::VARCHAR || ':' || key) AS hx
+  FROM ex CROSS JOIN range(4) t(i)
+), pbb AS (
+  SELECT key, i,
+         list_reduce(list_transform(generate_series(1, 3),
+           q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1),
+           (a, b) -> a * 16 + b) % 1024 AS bucket
+  FROM pb
+), est AS (
+  SELECT pbb.key, min(sk.cnt)::BIGINT AS cms_cnt
+  FROM pbb JOIN sk USING (i, bucket) GROUP BY 1
+)
+SELECT ex.key, ex.exact_cnt, est.cms_cnt
+FROM ex JOIN est USING (key)
+"""
+
+
+def semdedup_oracle(n_clusters=16, eps=0.35):
+    """Full relational twin of operators/semdedup.semantic_dedup: the
+    md5-smallest seed centroids, argmax-cosine assignment (ties to the
+    lower centroid id), the (centroid_cos DESC, vec_id ASC) cluster
+    order on the UNROUNDED cosine, and the greedy-prefix drop test — all
+    re-derived in SQL with the same left-to-right double folds."""
+    def dot(a, b):
+        return (f"list_reduce(list_transform(generate_series(1, len({a})), "
+                f"i -> {a}[i]*{b}[i]), (x, y) -> x+y)")
+
+    cass = (f"{dot('e.v', 's.v')} / (sqrt({dot('e.v', 'e.v')})"
+            f" * sqrt({dot('s.v', 's.v')}))")
+    pcos = (f"{dot('i.v', 'j.v')} / (sqrt({dot('i.v', 'i.v')})"
+            f" * sqrt({dot('j.v', 'j.v')}))")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (
+           ORDER BY md5('sem:' || vec_id::VARCHAR)) - 1 AS cid
+  FROM e ORDER BY md5('sem:' || vec_id::VARCHAR) LIMIT {n_clusters}
+), asg0 AS (
+  SELECT e.vec_id, e.v, s.cid, {cass} AS cc
+  FROM e CROSS JOIN seeds s
+), asg AS (
+  SELECT vec_id, v, cid, cc FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM asg0)
+  WHERE rn = 1
+), rk AS (
+  SELECT vec_id, v, cid, cc,
+         row_number() OVER (
+           PARTITION BY cid ORDER BY cc DESC, vec_id ASC)::BIGINT AS cr
+  FROM asg
+), drp AS (
+  SELECT DISTINCT i.vec_id
+  FROM rk i JOIN rk j ON i.cid = j.cid AND j.cr < i.cr
+  WHERE {pcos} >= {eps!r}
+)
+SELECT rk.vec_id, rk.cid::BIGINT AS cluster_id, rk.cr AS cluster_rank,
+       round(rk.cc, 6) AS centroid_cos,
+       (drp.vec_id IS NOT NULL) AS is_duplicate
+FROM rk LEFT JOIN drp USING (vec_id)
+"""
+
+
+def entity_mentions_oracle(n_unigrams=10, n_bigrams=30):
+    """Relational twin of operators/entitylink (ngram_dictionary +
+    link_entities, max_len=2): same normalization, doc-frequency
+    dictionary with (df DESC, surface ASC) ranking, n-gram mention scan,
+    strict-containment longest-match filter, df/n_docs prior."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH dall AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split({norm}, ' ') AS toks
+  FROM documents
+), nd AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), u1 AS (
+  SELECT surface, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS surface FROM dall)
+  GROUP BY 1
+), t1 AS (
+  SELECT surface, df FROM u1 ORDER BY df DESC, surface ASC
+  LIMIT {n_unigrams}
+), u2 AS (
+  SELECT surface, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(
+          list_transform(generate_series(1, len(toks) - 1),
+                         s -> toks[s] || ' ' || toks[s + 1]))) AS surface
+        FROM dall WHERE len(toks) >= 2)
+  GROUP BY 1
+), t2 AS (
+  SELECT surface, df FROM u2 ORDER BY df DESC, surface ASC
+  LIMIT {n_bigrams}
+), dict AS (
+  SELECT surface, row_number() OVER (
+           ORDER BY df DESC, surface ASC)::BIGINT AS entity_id,
+         df::DOUBLE AS df
+  FROM t1
+  UNION ALL
+  SELECT surface, {n_unigrams} + row_number() OVER (
+           ORDER BY df DESC, surface ASC),
+         df::DOUBLE
+  FROM t2
+), d AS (
+  SELECT doc_id, toks FROM dall WHERE toks <> ['']
+), m AS (
+  SELECT doc_id, s::BIGINT AS pos, 1::BIGINT AS n_tokens,
+         toks[s] AS surface
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS s FROM d)
+  UNION ALL
+  SELECT doc_id, s::BIGINT, 2::BIGINT, toks[s] || ' ' || toks[s + 1]
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS s
+        FROM d WHERE len(toks) >= 2)
+), mm AS (
+  SELECT m.doc_id, m.pos, m.n_tokens, m.surface, dict.entity_id, dict.df
+  FROM m JOIN dict USING (surface)
+)
+SELECT a.doc_id, a.pos, a.n_tokens, a.surface, a.entity_id,
+       round(a.df / nd.n, 6) AS prior
+FROM mm a CROSS JOIN nd
+WHERE NOT EXISTS (
+  SELECT 1 FROM mm b
+  WHERE b.doc_id = a.doc_id AND b.pos <= a.pos
+    AND b.pos + b.n_tokens >= a.pos + a.n_tokens
+    AND b.n_tokens > a.n_tokens)
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -1180,6 +1366,10 @@ def all_oracles():
     out["text_chunks"] = chunks_oracle()
     out["graph_triangles"] = TRIANGLES_ORACLE
     out["q_skew_events"] = SKEW_ORACLE
+    out["sketch_hll_users"] = hll_oracle()
+    out["sketch_cms_heavy"] = CMS_ORACLE
+    out["sim_semantic_dedup"] = semdedup_oracle()
+    out["text_entity_mentions"] = entity_mentions_oracle()
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

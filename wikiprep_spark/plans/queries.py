@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wikiprep_spark.operators import (
-    asof, curation, dedup, graph, lm, packing, retrieval, similarity,
-    textops,
+    asof, curation, dedup, entitylink, graph, lm, packing, retrieval,
+    semdedup, similarity, sketches, textops,
 )
 from wikiprep_spark.plans.pipeline import run_pipeline
 from wikiprep_spark.sources.corpus import build_src_pages
@@ -552,6 +552,55 @@ def dedup_passages(spark, sf_dir):
     return dedup.dup_passages(_read(spark, sf_dir, "documents"), k=8)
 
 
+def sketch_hll_users(spark, sf_dir):
+    """Daily-active-users via the HyperLogLog sketch: md5-register math
+    reproduced bit-for-bit by the DuckDB twin (the harmonic sum is an
+    int64 of two-powers, so no float-summation-order drift).  Two
+    map-side-combining aggs onto a <= 4096-per-group key space — the
+    shape that counts distinct users over 100 TB without a
+    distinct-shuffle of the raw keys."""
+    ev = _read(spark, sf_dir, "events")
+    return sketches.hll_distinct(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id", ["day"],
+    )
+
+
+def sketch_cms_heavy(spark, sf_dir):
+    """Count-min sketch point queries for the exact top-20 users: builds
+    the 4x1024 sketch in one fixed-keyspace agg, probes it with broadcast
+    joins, and reports estimate next to exact so the CMS >= exact
+    guarantee is part of the gated surface."""
+    ev = _read(spark, sf_dir, "events")
+    sk = sketches.cms_build(ev, "user_id")
+    top = (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("key"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sk, top.select("key"))
+    return top.join(est, "key").select("key", "exact_cnt", "cms_cnt")
+
+
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup decisions over the embeddings table: md5-seeded clusters,
+    literal-quantizer assignment, greedy-prefix within-cluster drops —
+    the full decision surface re-derived relationally by the oracle."""
+    return semdedup.semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), n_clusters=16, eps=0.35)
+
+
+def text_entity_mentions(spark, sf_dir):
+    """Entity linking over documents with the corpus-derived n-gram
+    knowledge base (top-10 unigrams + top-30 bigrams by doc frequency):
+    n-gram mention scan, surface join, longest-match containment,
+    commonness prior."""
+    docs = _read(spark, sf_dir, "documents")
+    d = entitylink.ngram_dictionary(docs, n_unigrams=10, n_bigrams=30)
+    return entitylink.link_entities(docs, d, max_len=2)
+
+
 def text_pack_seqs(spark, sf_dir):
     """Concat-and-chunk sequence packing placement via the distributed
     prefix sum; the oracle uses the naive single-window global cumsum —
@@ -734,6 +783,10 @@ QUERIES = {
     "text_chunks": text_chunks,
     "graph_triangles": graph_triangles,
     "q_skew_events": q_skew_events,
+    "sketch_hll_users": sketch_hll_users,
+    "sketch_cms_heavy": sketch_cms_heavy,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "text_entity_mentions": text_entity_mentions,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
