@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "sketch_cms_heavy",
     "sim_semantic_dedup",
     "text_entity_mentions",
+    "q_profile_events",
+    "q_json_props",
+    "q_rollup_pricing",
+    "q_pivot_user_events",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

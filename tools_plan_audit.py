@@ -226,6 +226,33 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # numeric profile: ONE grouped aggregation (decimal power sums +
+        # exact percentiles ride the same agg) — no joins, no Python
+        "q_profile_events": (
+            Q.q_profile_events(spark, sf),
+            {"max_shuffles": 1, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
+        # JSON extraction: JVM-side get_json_object + one agg
+        "q_json_props": (
+            Q.q_json_props(spark, sf),
+            {"max_shuffles": 1, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
+        # rollup: Expand + ONE agg pass for all grouping levels
+        "q_rollup_pricing": (
+            Q.q_rollup_pricing(spark, sf),
+            {"max_shuffles": 1, "max_single_partition": 0,
+             "require": ["Expand"],
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
+        # pivot with EXPLICIT values: no distinct-discovery job, two-level
+        # agg only
+        "q_pivot_user_events": (
+            Q.q_pivot_user_events(spark, sf),
+            {"max_shuffles": 2, "max_single_partition": 0,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
         # HLL sketch: two map-side-combining aggs onto a <= 4096-per-
         # group register space — NOTHING may join and nothing funnels
         "sketch_hll_users": (

@@ -1350,6 +1350,72 @@ WHERE NOT EXISTS (
 """
 
 
+def profile_oracle():
+    """Twin of operators/profile.numeric_profile over events.value:
+    decimal power sums (order-independent, engine-exact), the stddev
+    expression is THE SAME LITERAL TEXT as the Spark side
+    (profile._STD_EXPR), and quantile_cont uses the identical
+    h = (n-1)*q linear interpolation as Spark's exact percentile."""
+    from wikiprep_spark.operators.profile import _STD_EXPR
+
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_rows,
+         count(value)::BIGINT AS n_vals,
+         min(value) AS min_val, max(value) AS max_val,
+         sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS s1d,
+         sum(CAST(value AS DECIMAL(18,6))
+             * CAST(value AS DECIMAL(18,6)))::DOUBLE AS s2d,
+         quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_rows, (n_rows - n_vals)::BIGINT AS n_nulls,
+       min_val, max_val,
+       round(s1d / n_vals, 6) AS mean_val,
+       round({_STD_EXPR}, 6) AS stddev_val,
+       round(qs[1], 6) AS q_25, round(qs[2], 6) AS q_50,
+       round(qs[3], 6) AS q_75, round(qs[4], 6) AS q_95
+FROM s
+"""
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       count(k)::BIGINT AS n_parsed,
+       sum(k)::BIGINT AS sum_val,
+       min(k)::BIGINT AS min_val,
+       max(k)::BIGINT AS max_val
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+"""
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       count(*) AS n_items,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(18,2)))), 2)::DOUBLE AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY 1
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -1370,6 +1436,10 @@ def all_oracles():
     out["sketch_cms_heavy"] = CMS_ORACLE
     out["sim_semantic_dedup"] = semdedup_oracle()
     out["text_entity_mentions"] = entity_mentions_oracle()
+    out["q_profile_events"] = profile_oracle()
+    out["q_json_props"] = JSON_PROPS_ORACLE
+    out["q_rollup_pricing"] = ROLLUP_ORACLE
+    out["q_pivot_user_events"] = PIVOT_ORACLE
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

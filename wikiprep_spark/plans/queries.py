@@ -552,6 +552,63 @@ def dedup_passages(spark, sf_dir):
     return dedup.dup_passages(_read(spark, sf_dir, "documents"), k=8)
 
 
+def q_profile_events(spark, sf_dir):
+    """Per-event-type numeric profile of events.value: decimal-exact
+    power sums for mean/stddev, exact interpolated percentiles (bounded
+    group count makes exact the right choice; approx_percentile is the
+    unbounded-group scale path)."""
+    from wikiprep_spark.operators.profile import numeric_profile
+
+    return numeric_profile(
+        _read(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+def q_json_props(spark, sf_dir):
+    """Schema-on-read over the semi-structured events.props JSON column:
+    JVM-side get_json_object extraction + decimal-exact aggregation."""
+    from wikiprep_spark.operators.profile import json_field_stats
+
+    return json_field_stats(
+        _read(spark, sf_dir, "events"), "props", "k", ["event_type"])
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """Multi-level aggregation via ROLLUP(l_returnflag, l_linestatus)
+    with grouping_id — subtotals and the grand total in ONE pass (the
+    partial-agg tree reuses the finest level; no per-level rescan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum(dec), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_pivot_user_events(spark, sf_dir):
+    """Wide-format per-user activity matrix via groupBy().pivot() with
+    EXPLICIT pivot values — without them Spark runs an extra distinct
+    job to discover columns, a full-table scan a 100 TB caller should
+    never pay."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias("n_" + t)
+          for t in types],
+    )
+
+
 def sketch_hll_users(spark, sf_dir):
     """Daily-active-users via the HyperLogLog sketch: md5-register math
     reproduced bit-for-bit by the DuckDB twin (the harmonic sum is an
@@ -787,6 +844,10 @@ QUERIES = {
     "sketch_cms_heavy": sketch_cms_heavy,
     "sim_semantic_dedup": sim_semantic_dedup,
     "text_entity_mentions": text_entity_mentions,
+    "q_profile_events": q_profile_events,
+    "q_json_props": q_json_props,
+    "q_rollup_pricing": q_rollup_pricing,
+    "q_pivot_user_events": q_pivot_user_events,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
