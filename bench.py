@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q_json_props",
     "q_rollup_pricing",
     "q_pivot_user_events",
+    "q_range_ship_window",
+    "cur_weighted_sample",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

@@ -226,6 +226,23 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # range join via bin bucketing: MUST be an equi-join on the bin
+        # (never the nested-loop product Spark compiles raw BETWEEN to)
+        "q_range_ship_window": (
+            Q.q_range_ship_window(spark, sf),
+            {"max_shuffles": 2, "max_single_partition": 0,
+             "min_broadcast": 1,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "BroadcastNestedLoopJoin", "CartesianProduct"]},
+        ),
+        # ES weighted sample: projection + distributed partial top-k —
+        # zero shuffles, the final 100 rows merge at the driver
+        "cur_weighted_sample": (
+            Q.cur_weighted_sample(spark, sf),
+            {"max_shuffles": 0, "max_single_partition": 0,
+             "require": ["TakeOrderedAndProject"],
+             "forbid": ["BatchEvalPython", "ArrowEvalPython", "Join"]},
+        ),
         # numeric profile: ONE grouped aggregation (decimal power sums +
         # exact percentiles ride the same agg) — no joins, no Python
         "q_profile_events": (

@@ -339,3 +339,43 @@ def dsir_logweights(docs: DataFrame, target_docs: DataFrame,
               .alias("resample_score"),
         )
     )
+
+
+def weighted_sample(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis 2006:
+    each item gets key u^(1/w) with u uniform in (0, 1]; the k largest
+    keys ARE a weighted sample without replacement.  u derives from the
+    md5 sampling bucket (deterministic across runs/engines/partitionings
+    — same reproducibility contract as stratified_sample), so the sample
+    is a pure function of the ids.
+
+    Scale shape: a projection + orderBy().limit(k), which compiles to
+    TakeOrderedAndProject — every task keeps a local top-k, the driver
+    merges k rows; no global sort, no single-partition exchange.
+
+    Output: (id, weight, es_key rounded 6, rank 1..k), deterministic
+    tiebreak (key DESC, id ASC)."""
+    from pyspark.sql import Window
+
+    u = (
+        (F.expr(sample_bucket_sql(id_col, salt="wsample")) + F.lit(0.5))
+        / F.lit(float(_BUCKETS))
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        docs.where(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.pow(u, F.lit(1.0) / w).alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+    )
+    win = Window.orderBy(F.desc("_key"), F.asc(id_col))
+    return keyed.select(
+        id_col, "weight",
+        F.round("_key", 6).alias("es_key"),
+        F.row_number().over(win).cast("long").alias("rank"),
+    )

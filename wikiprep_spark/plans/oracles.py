@@ -1416,6 +1416,45 @@ FROM events GROUP BY 1
 """
 
 
+RANGE_JOIN_ORACLE = """
+WITH pts AS (
+  SELECT DISTINCT
+         datediff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT
+           AS ship_day
+  FROM lineitem
+), iv AS (
+  SELECT o_orderkey,
+         datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+           AS start_day
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey = 0
+)
+SELECT iv.o_orderkey, iv.start_day,
+       (iv.start_day + 30)::BIGINT AS end_day, pts.ship_day
+FROM iv JOIN pts
+  ON pts.ship_day BETWEEN iv.start_day AND iv.start_day + 30
+"""
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         list_reduce(list_transform(generate_series(1, 4),
+           q -> strpos('0123456789abcdef',
+                substr(md5('wsample:' || doc_id::VARCHAR), q, 1)) - 1),
+           (x, y) -> x * 16 + y) % 10000 AS bucket
+  FROM documents WHERE n_chars > 0
+), b AS (
+  SELECT doc_id, weight,
+         power((bucket + 0.5) / 10000.0, 1.0 / weight) AS k
+  FROM f
+)
+SELECT doc_id, weight, round(k, 6) AS es_key,
+       row_number() OVER (ORDER BY k DESC, doc_id ASC)::BIGINT AS rank
+FROM b ORDER BY k DESC, doc_id ASC LIMIT 100
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -1440,6 +1479,10 @@ def all_oracles():
     out["q_json_props"] = JSON_PROPS_ORACLE
     out["q_rollup_pricing"] = ROLLUP_ORACLE
     out["q_pivot_user_events"] = PIVOT_ORACLE
+    # DuckDB's native range join — an independent implementation of the
+    # operator (same contract as the as-of oracle)
+    out["q_range_ship_window"] = RANGE_JOIN_ORACLE
+    out["cur_weighted_sample"] = WEIGHTED_SAMPLE_ORACLE
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

@@ -552,6 +552,45 @@ def dedup_passages(spark, sf_dir):
     return dedup.dup_passages(_read(spark, sf_dir, "documents"), k=8)
 
 
+def q_range_ship_window(spark, sf_dir):
+    """Pure range join (no equi key) via bin bucketing: distinct ship
+    days joined into 30-day order windows of nation-0 customers.  Spark
+    would compile the raw BETWEEN predicate to a nested-loop product;
+    the bin join makes it one equi-shuffle (operators/rangejoin.py).
+    The oracle is DuckDB's NATIVE range join — an independent engine
+    implementation, the as-of-oracle contract."""
+    from wikiprep_spark.operators.rangejoin import interval_join
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    day = "datediff(CAST(%s AS DATE), DATE '1970-01-01')"
+    pts = li.select(
+        F.expr(day % "l_shipdate").cast("long").alias("ship_day")
+    ).distinct()
+    iv = (
+        orders.join(
+            F.broadcast(customer.where(F.col("c_nationkey") == 0)
+                        .select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.expr(day % "o_orderdate").cast("long").alias("start_day"))
+        .withColumn("end_day", F.col("start_day") + 30)
+    )
+    return interval_join(
+        pts, iv, "ship_day", "start_day", "end_day", bin_width=32
+    ).select("o_orderkey", "start_day", "end_day", "ship_day")
+
+
+def cur_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement over
+    documents (weight = n_chars): deterministic md5-derived uniforms,
+    distributed partial top-k."""
+    return curation.weighted_sample(
+        _read(spark, sf_dir, "documents"), k=100)
+
+
 def q_profile_events(spark, sf_dir):
     """Per-event-type numeric profile of events.value: decimal-exact
     power sums for mean/stddev, exact interpolated percentiles (bounded
@@ -848,6 +887,8 @@ QUERIES = {
     "q_json_props": q_json_props,
     "q_rollup_pricing": q_rollup_pricing,
     "q_pivot_user_events": q_pivot_user_events,
+    "q_range_ship_window": q_range_ship_window,
+    "cur_weighted_sample": cur_weighted_sample,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
