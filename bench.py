@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "q_pivot_user_events",
     "q_range_ship_window",
     "cur_weighted_sample",
+    "dedup_bloom_seen",
     "q_asof_attribution",
     # graph_pagerank is oracle-gated but not benched here: it consumes
     # the full kg pipeline output, and QUERIES' staged pipeline at sf0.1

@@ -226,6 +226,15 @@ def cheap_targets(spark, sf=SF):
                         "BroadcastHashJoin", "ShuffledHashJoin",
                         "BroadcastNestedLoopJoin"]},
         ),
+        # bloom membership: ONCE-checkpointed bits table + k broadcast
+        # probe joins; nothing sort-merges, nothing funnels
+        "dedup_bloom_seen": (
+            Q.dedup_bloom_seen(spark, sf),
+            {"max_shuffles": 0, "max_single_partition": 0,
+             "min_broadcast": 4,
+             "forbid": ["BatchEvalPython", "ArrowEvalPython",
+                        "SortMergeJoin", "CartesianProduct"]},
+        ),
         # range join via bin bucketing: MUST be an equi-join on the bin
         # (never the nested-loop product Spark compiles raw BETWEEN to)
         "q_range_ship_window": (

@@ -1455,6 +1455,33 @@ FROM b ORDER BY k DESC, doc_id ASC LIMIT 100
 """
 
 
+BLOOM_ORACLE = """
+WITH b0 AS (
+  SELECT i, md5('bloom' || i::VARCHAR || ':' || o_custkey::VARCHAR) AS hx
+  FROM orders CROSS JOIN range(4) t(i)
+), bits AS (
+  SELECT DISTINCT
+    list_reduce(list_transform(generate_series(1, 5),
+      q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1),
+      (a, b) -> a * 16 + b) % 262144 AS bit_pos
+  FROM b0
+), p0 AS (
+  SELECT c_custkey::VARCHAR AS key, i,
+         md5('bloom' || i::VARCHAR || ':' || c_custkey::VARCHAR) AS hx
+  FROM customer CROSS JOIN range(4) t(i)
+), pp AS (
+  SELECT key, i,
+    list_reduce(list_transform(generate_series(1, 5),
+      q -> strpos('0123456789abcdef', substr(hx, q, 1)) - 1),
+      (a, b) -> a * 16 + b) % 262144 AS bit_pos
+  FROM p0
+)
+SELECT pp.key::BIGINT AS key, (count(bits.bit_pos) = 4) AS maybe_member
+FROM pp LEFT JOIN bits USING (bit_pos)
+GROUP BY pp.key
+"""
+
+
 def all_oracles():
     out = {}
     out.update(KG_ORACLES)
@@ -1483,6 +1510,7 @@ def all_oracles():
     # operator (same contract as the as-of oracle)
     out["q_range_ship_window"] = RANGE_JOIN_ORACLE
     out["cur_weighted_sample"] = WEIGHTED_SAMPLE_ORACLE
+    out["dedup_bloom_seen"] = BLOOM_ORACLE
     # DuckDB's native ASOF JOIN — an independent implementation of the
     # operator, not a transcription of the Spark union/carry-forward plan
     out["q_asof_attribution"] = ASOF_ORACLE

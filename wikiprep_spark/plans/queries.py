@@ -552,6 +552,20 @@ def dedup_passages(spark, sf_dir):
     return dedup.dup_passages(_read(spark, sf_dir, "documents"), k=8)
 
 
+def dedup_bloom_seen(spark, sf_dir):
+    """Bloom-filter 'seen before?' membership: build the filter over the
+    customers present in orders, probe EVERY customer.  No false
+    negatives; the false positives are deterministic (md5 bits), so the
+    oracle reproduces the exact answer set bit-for-bit."""
+    from wikiprep_spark.operators.bloom import bloom_build, bloom_probe
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    bits = bloom_build(orders, "o_custkey")
+    return bloom_probe(
+        bits, customer.select(F.col("c_custkey").alias("key")))
+
+
 def q_range_ship_window(spark, sf_dir):
     """Pure range join (no equi key) via bin bucketing: distinct ship
     days joined into 30-day order windows of nation-0 customers.  Spark
@@ -889,6 +903,7 @@ QUERIES = {
     "q_pivot_user_events": q_pivot_user_events,
     "q_range_ship_window": q_range_ship_window,
     "cur_weighted_sample": cur_weighted_sample,
+    "dedup_bloom_seen": dedup_bloom_seen,
     "q_asof_attribution": q_asof_attribution,
     "stream_dedup_backlog": stream_dedup_backlog,
     "stream_sessionize_backlog": stream_sessionize_backlog,
