@@ -1459,6 +1459,7 @@ BLOOM_ORACLE = """
 WITH b0 AS (
   SELECT i, md5('bloom' || i::VARCHAR || ':' || o_custkey::VARCHAR) AS hx
   FROM orders CROSS JOIN range(4) t(i)
+  WHERE o_orderkey % 3 = 0
 ), bits AS (
   SELECT DISTINCT
     list_reduce(list_transform(generate_series(1, 5),

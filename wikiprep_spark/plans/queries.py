@@ -554,14 +554,16 @@ def dedup_passages(spark, sf_dir):
 
 def dedup_bloom_seen(spark, sf_dir):
     """Bloom-filter 'seen before?' membership: build the filter over the
-    customers present in orders, probe EVERY customer.  No false
-    negatives; the false positives are deterministic (md5 bits), so the
-    oracle reproduces the exact answer set bit-for-bit."""
+    customers with an o_orderkey%3==0 order (a deterministic SUBSET, so
+    the probe set contains real negatives), probe EVERY customer.  No
+    false negatives; the false positives are deterministic (md5 bits),
+    so the oracle reproduces the exact answer set bit-for-bit."""
     from wikiprep_spark.operators.bloom import bloom_build, bloom_probe
 
     orders = _read(spark, sf_dir, "orders")
     customer = _read(spark, sf_dir, "customer")
-    bits = bloom_build(orders, "o_custkey")
+    bits = bloom_build(
+        orders.where(F.col("o_orderkey") % 3 == 0), "o_custkey")
     return bloom_probe(
         bits, customer.select(F.col("c_custkey").alias("key")))
 
