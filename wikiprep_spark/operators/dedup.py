@@ -46,6 +46,9 @@ def _token_sets(docs: DataFrame, id_col, text_col,
     Shingles (n>1) are the standard minhash/Jaccard unit for text dedup:
     they keep the element space large enough that unrelated documents
     share few elements even over a small vocabulary."""
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)
     toks = F.split(normalized_text(text_col), " ")
     if shingle > 1:
         toks = F.transform(
@@ -418,6 +421,9 @@ def dup_passages(docs: DataFrame, id_col="doc_id", text_col="text",
     (the ``_token_sets`` convention), with spans clamped to the document,
     so short exact dups are still caught.  Output per input doc:
     (doc_id, n_tokens, dup_tokens, dup_spans, dup_ratio)."""
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)
     toks = F.split(normalized_text(text_col), " ")
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -179,6 +179,9 @@ def cosine_near_dup_pairs(
     ``max_bucket`` is the same hub-bucket guard as minhash_lsh_pairs.
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    emb = spread_small_scan(emb)
     v = F.col(vec_col).cast("array<double>")
     band_cols = []
     for b in range(bands):
@@ -439,6 +442,9 @@ def ivf_cosine_topk(
     key is the centroid id, and the quantizer is a literal expression —
     the IVF analogue of the LSH scale path.  Output shape == cosine_topk.
     """
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    emb = spread_small_scan(emb)
     if centroids is None:
         centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
     # coarse assignment rides the scan as a projection column on the same

@@ -139,6 +139,9 @@ def winnow_fingerprints(docs: DataFrame, id_col="doc_id", text_col="text",
     the text column (no shuffle, no UDF); the k-gram hash is the
     cross-engine md5-60bit, so the DuckDB oracle reproduces the exact
     fingerprint set."""
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)
     gram = _hash60_sql(f"substring(_wnorm, i, {k})")
     hashes = (
         f"transform(sequence(1, greatest(length(_wnorm) - {k} + 1, 1)),"

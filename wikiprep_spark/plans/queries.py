@@ -71,6 +71,21 @@ def _read(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark, sf_dir, name):
+    """_read + the under-parallel-scan guard (operators/spread.py): the
+    testdata tables are single small parquet files, i.e. ONE-task scans.
+    Used by the queries whose per-row expression work (HOF shingling,
+    regex, JSON parsing, vector math) dominates and sits UPSTREAM of the
+    first natural exchange — for those, serializing it on one core costs
+    far more than the round-robin exchange.  Aggregation/join-only queries
+    keep the plain scan: their first exchange is the aggregation itself,
+    and an extra spread exchange is pure overhead (measured both ways,
+    OPTIMIZATION_r06.md)."""
+    from wikiprep_spark.operators.spread import spread_small_scan
+
+    return spread_small_scan(_read(spark, sf_dir, name))
+
+
 # --- knowledge-graph queries (full pipeline; oracles are closed-form) ----
 
 def kg_links(spark, sf_dir):
@@ -232,7 +247,7 @@ def graph_pagerank(spark, sf_dir):
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-k retrieval of documents for deterministic probe queries;
     scores rounded before ranking, doc_id tiebreak, two-phase top-k."""
-    return retrieval.bm25_topk(_read(spark, sf_dir, "documents"))
+    return retrieval.bm25_topk(_read_spread(spark, sf_dir, "documents"))
 
 
 # --- TPC-H-ish relational coverage ---------------------------------------
@@ -362,7 +377,7 @@ def text_token_stats(spark, sf_dir):
 
 
 def text_quality(spark, sf_dir):
-    return textops.quality_score(_read(spark, sf_dir, "documents"))
+    return textops.quality_score(_read_spread(spark, sf_dir, "documents"))
 
 
 def text_fingerprint(spark, sf_dir):
@@ -389,7 +404,7 @@ def text_lang_id(spark, sf_dir):
 
 
 def sim_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries, k=5)
 
@@ -462,13 +477,13 @@ def cur_repetition(spark, sf_dir):
     # Gopher-style repetition signals; the oracle recomputes the duplicate
     # -line and top-n-gram fractions with unnest+groupBy instead of the
     # sorted-array linear pass
-    return curation.repetition_stats(_read(spark, sf_dir, "documents"))
+    return curation.repetition_stats(_read_spread(spark, sf_dir, "documents"))
 
 
 def cur_pii_scrub(spark, sf_dir):
     # RE2-safe patterns make the scrubbed TEXT itself (not just the
     # counts) byte-comparable against the DuckDB twin
-    return curation.pii_scrub(_read(spark, sf_dir, "documents"))
+    return curation.pii_scrub(_read_spread(spark, sf_dir, "documents"))
 
 
 def cur_decontaminate(spark, sf_dir):
@@ -476,7 +491,7 @@ def cur_decontaminate(spark, sf_dir):
     # (doc_id % 97 == 0) so the query needs no side input; the member
     # docs are trivially contaminated, the interesting signal is which
     # OTHER documents share a 5-gram with them
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     eval_docs = docs.where(F.col("doc_id") % 97 == 0)
     return curation.ngram_decontaminate(docs, eval_docs, n=5)
 
@@ -508,7 +523,7 @@ def graph_triangles(spark, sf_dir):
     lineitem fact; the triangle join itself uses degree-ordered
     orientation (Suri-Vassilvitskii) so no hub part becomes the last
     reducer."""
-    li = _read(spark, sf_dir, "lineitem").select(
+    li = _read_spread(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_partkey").cast("long").alias("p"),
     )
@@ -540,7 +555,7 @@ def cur_dsir(spark, sf_dir):
     fit hashed-ngram bucket multinomials on target (lang='en') and source
     (everything), score every doc by the summed log-ratio, and attach the
     deterministic-Gumbel resampling score."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return curation.dsir_logweights(docs, docs.where(F.col("lang") == "en"))
 
 
@@ -624,14 +639,14 @@ def q_json_props(spark, sf_dir):
     from wikiprep_spark.operators.profile import json_field_stats
 
     return json_field_stats(
-        _read(spark, sf_dir, "events"), "props", "k", ["event_type"])
+        _read_spread(spark, sf_dir, "events"), "props", "k", ["event_type"])
 
 
 def q_rollup_pricing(spark, sf_dir):
     """Multi-level aggregation via ROLLUP(l_returnflag, l_linestatus)
     with grouping_id — subtotals and the grand total in ONE pass (the
     partial-agg tree reuses the finest level; no per-level rescan)."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read_spread(spark, sf_dir, "lineitem")
     dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)")
         - F.col("l_discount").cast("decimal(18,2)"))
@@ -708,7 +723,7 @@ def text_entity_mentions(spark, sf_dir):
     knowledge base (top-10 unigrams + top-30 bigrams by doc frequency):
     n-gram mention scan, surface join, longest-match containment,
     commonness prior."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     d = entitylink.ngram_dictionary(docs, n_unigrams=10, n_bigrams=30)
     return entitylink.link_entities(docs, d, max_len=2)
 
