@@ -245,6 +245,13 @@ def redirect_canonical_map(redirects: DataFrame) -> DataFrame:
     )
 
 
+# closing-edge broadcast bound for triangle_counts: 8M canonical edges
+# (~a few hundred MB as a built hash relation) — comfortably inside
+# executor memory and the 8 GB broadcast cap; larger graphs keep the
+# shuffle semi-join
+TRIANGLE_BROADCAST_MAX_EDGES = 8_000_000
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Per-node triangle participation and local clustering coefficient
@@ -269,7 +276,14 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(a, b).distinct()
+        # canonical edges feed TWO consumers (the degree agg and the
+        # orientation join) — materialize once instead of re-running the
+        # caller's whole edge-generation subtree per consumer
+        .localCheckpoint()
     )
+    # edge count for the closing-join strategy pick below; cheap on the
+    # just-checkpointed frame
+    n_edges = e.count()
     # degree table feeds three consumers (both orientation joins + the
     # final output join): materialize it once, like pagerank's
     # loop-invariant edge⋈outdeg, instead of replicating its agg subtree
@@ -310,6 +324,15 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     )
     closing = oriented.select(F.col("u").alias("v1"),
                               F.col("v").alias("v2"))
+    # the wedge stream is O(sum of oriented-outdeg^2) — far larger than
+    # the edge list it closes against.  When the edge list fits a
+    # broadcast, probe it map-side so the wedge stream never crosses an
+    # exchange (guide §3.1: broadcast replaces the shuffle of the BIG
+    # side); past the bound, fall back to the shuffle semi-join.  The
+    # checkpointed leaf defeats size estimation, hence the explicit
+    # count-guarded hint.
+    if n_edges <= TRIANGLE_BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
     tris = wedges.join(closing, ["v1", "v2"], "left_semi")
     per_node = (
         tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))

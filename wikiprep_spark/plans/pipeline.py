@@ -235,6 +235,37 @@ def run_pipeline(
                              dicts_path)
     metrics.record("prescan", time.time() - t0, dict_rows=n_dict_rows)
 
+    # --- lineage, overlapped: it reads only src_pages/parsed — fully
+    # independent of the transform/triples chain — so submit its write
+    # from a driver thread NOW and join before returning (guide §2.6:
+    # concurrent jobs back-fill task slots freed by the running stage's
+    # tail instead of serializing ~1.5s of pure JVM hashing at the end)
+    lineage_thread = None
+    lineage_err: list = []
+    if work_dir:
+        lineage_path = os.path.join(work_dir, "lineage")
+        if not (resume and _stage_done(lineage_path)):
+            import threading
+
+            lin = (lineage_src_df(src_pages) if fuse_parse
+                   else lineage_df(parsed))
+
+            def _lineage_job():
+                # FIFO pools give the EARLIER job priority, so submit
+                # after the transform job is in flight — its tasks then
+                # back-fill slots freed by the transform stage's tail
+                # instead of preempting its first wave
+                time.sleep(1.5)
+                try:
+                    spark.sparkContext.setJobDescription("lineage")
+                    _write(lin, lineage_path)
+                except BaseException as exc:  # surfaced at join below
+                    lineage_err.append(exc)
+
+            lineage_thread = threading.Thread(
+                target=_lineage_job, daemon=True)
+            lineage_thread.start()
+
     # --- stage 3: transform
     t0 = time.time()
     if work_dir:
@@ -279,11 +310,10 @@ def run_pipeline(
         out["triples"] = spark.read.parquet(triples_path)
         metrics.record("triples", time.time() - t0)
 
-        lineage_path = os.path.join(work_dir, "lineage")
-        if not (resume and _stage_done(lineage_path)):
-            lin = (lineage_src_df(src_pages) if fuse_parse
-                   else lineage_df(parsed))
-            _write(lin, lineage_path)
+        if lineage_thread is not None:
+            lineage_thread.join()
+            if lineage_err:
+                raise lineage_err[0]
         metrics.save(os.path.join(work_dir, "metrics.jsonl"))
 
     out["parsed"] = parsed
