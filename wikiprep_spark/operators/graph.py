@@ -84,13 +84,21 @@ def connected_components(
     own label.  Converges in O(log diameter) rounds on most graphs.
     """
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # both orientations from ONE pass over the edge producer: the
+        # union-of-two-selects form evaluates the caller's edge subtree
+        # once per branch — for an expensive producer (the LSH verified
+        # pair join feeding near-dup-groups) that is a whole duplicated
+        # candidate+verify pass before the loop even starts
+        edges.select(
+            F.explode(F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
         # materialize ONCE: sym is joined in every propagation round, and
-        # Spark re-executes the whole upstream per consuming job — with an
-        # expensive edge producer (LSH pair generation feeding
-        # near-dup-groups) that re-ran the full candidate join each round
+        # Spark re-executes the whole upstream per consuming job
         .localCheckpoint()
     )
     labels = (

@@ -59,15 +59,22 @@ def semdedup_seed_centroids(emb: DataFrame, n_clusters: int = 16,
             for i, r in enumerate(seeds)]
 
 
-def _best_centroid(centroids: list, vec_col: str):
+def _best_centroid(centroids: list, vec_col: str,
+                   norm_col: str | None = None):
     """(cluster_id, centroid_cosine) struct column: argmax cosine over the
     literal centroids, ties to the lower centroid id — a projection, not a
-    join.  Folds left-to-right exactly like the DuckDB twin."""
+    join.  Folds left-to-right exactly like the DuckDB twin.  Centroid
+    norms fold driver-side and the row norm can be hoisted to a column —
+    both bit-identical to the inline folds (operators/similarity.py
+    _literal_norm)."""
+    from wikiprep_spark.operators.similarity import _literal_norm
+
     v = F.col(vec_col).cast("array<double>")
+    vnorm = F.col(norm_col) if norm_col else _norm(v)
     scored = []
     for cid, cvec in centroids:
         lit = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = _dot(v, lit) / (_norm(v) * _norm(lit))
+        cos = _dot(v, lit) / (vnorm * F.lit(_literal_norm(cvec)))
         scored.append(F.struct(
             (-cos).alias("neg"), F.lit(cid).alias("cluster_id")))
     best = F.element_at(F.array_sort(F.array(*scored)), 1)
@@ -96,23 +103,35 @@ def semantic_dedup(
     higher-n_clusters rerun — a documented conservative underestimate,
     like the LSH max_bucket guard.
     """
+    from wikiprep_spark.operators.spread import spread_small_scan
+
     if centroids is None:
         centroids = semdedup_seed_centroids(
             emb, n_clusters, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
-    assigned = emb.select(
+    # spread a one-task scan (operators/spread.py) so the quantizer
+    # projection parallelizes; hoist the row norm once per vector and
+    # reuse it for the quantizer AND the pair test below (bit-identical)
+    assigned = spread_small_scan(emb).select(
         F.col(id_col).alias("vec_id"),
         v.alias("v"),
-        _best_centroid(centroids, vec_col).alias("bc"),
+    ).withColumn("_n", _norm(F.col("v"))).select(
+        "vec_id", "v", "_n",
+        _best_centroid(centroids, vec_col="v", norm_col="_n").alias("bc"),
     ).select(
-        "vec_id", "v",
+        "vec_id", "v", "_n",
         F.col("bc.cluster_id").alias("cluster_id"),
         F.col("bc.centroid_cos").alias("centroid_cos"),
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("centroid_cos"), F.asc("vec_id"))
+    # ranked feeds FOUR consumers (cluster sizes, both pair-test sides,
+    # the final output join) — materialize once instead of re-running the
+    # quantizer + window chain per consumer (the pagerank/triangles
+    # pattern)
     ranked = assigned.withColumn(
-        "cluster_rank", F.row_number().over(w).cast("long"))
+        "cluster_rank", F.row_number().over(w).cast("long")
+    ).localCheckpoint()
     # the guard exempts oversized clusters from the PAIR TEST only —
     # their members all stay in the output, flagged kept (conservative)
     pairable = ranked
@@ -121,19 +140,22 @@ def semantic_dedup(
             F.count("*").alias("csize"))
         pairable = ranked.join(F.broadcast(sizes), "cluster_id").where(
             F.col("csize") <= max_cluster).drop("csize")
-    # the oriented pair test: j earlier than i in the cluster order
+    # the oriented pair test: j earlier than i in the cluster order;
+    # norms ride per VECTOR, not per pair (bit-identical hoist)
     early = pairable.select(
         F.col("cluster_id").alias("cluster_id"),
         F.col("cluster_rank").alias("rj"),
         F.col("v").alias("vj"),
+        F.col("_n").alias("nj"),
     )
     late = pairable.select(
         "cluster_id", "vec_id",
         F.col("cluster_rank").alias("ri"),
         F.col("v").alias("vi"),
+        F.col("_n").alias("ni"),
     )
     pair_cos = _dot(F.col("vi"), F.col("vj")) / (
-        _norm(F.col("vi")) * _norm(F.col("vj")))
+        F.col("ni") * F.col("nj"))
     dropped = (
         late.join(early, "cluster_id")
         .where(F.col("rj") < F.col("ri"))

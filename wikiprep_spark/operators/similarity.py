@@ -49,14 +49,18 @@ def cosine_topk(
     big-corpus problem); ranking is a per-query window with a deterministic
     (cosine desc, neighbor_id) tie-break.  Self-matches are excluded.
     """
+    # norms hoisted to one column per VECTOR instead of one evaluation per
+    # PAIR: _norm is a deterministic fold over the same array, so the
+    # value is bit-identical either way, but the per-pair HOF work drops
+    # from dot+2 norms to the dot alone (the pair side is the big one)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     scored = corpus.join(F.broadcast(qs)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -65,7 +69,7 @@ def cosine_topk(
         "neighbor_id",
         (
             _dot(F.col("cvec"), F.col("qvec"))
-            / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+            / (F.col("_cn") * F.col("_qn"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -127,21 +131,22 @@ def lsh_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
         "bucket",
-    )
+    ).withColumn("_cn", _norm(F.col("cvec")))
     qs = lsh_bucket(queries, dim, n_planes, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
         "bucket",
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     scored = corpus.join(F.broadcast(qs), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # per-vector norms (bit-identical hoist, see cosine_topk)
     scored = scored.select(
         "query_id",
         "neighbor_id",
         (
             _dot(F.col("cvec"), F.col("qvec"))
-            / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+            / (F.col("_cn") * F.col("_qn"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -214,16 +219,23 @@ def cosine_near_dup_pairs(
         .select(F.col("l.vec").alias("vec_a"), F.col("r.vec").alias("vec_b"))
         .distinct()
     )
-    vecs = emb.select(F.col(id_col).alias("vec"), v.alias("v"))
+    # per-vector norms computed ONCE on the vector side of the join — the
+    # candidate pair stream is orders of magnitude larger than the corpus,
+    # and _norm is a deterministic fold over the same array, so hoisting
+    # it out of the per-pair expression changes nothing but the work
+    vecs = emb.select(F.col(id_col).alias("vec"), v.alias("v"),
+                      _norm(v).alias("n"))
     verified = (
         candidates.join(vecs.select(F.col("vec").alias("vec_a"),
-                                    F.col("v").alias("va")), "vec_a")
+                                    F.col("v").alias("va"),
+                                    F.col("n").alias("na")), "vec_a")
         .join(vecs.select(F.col("vec").alias("vec_b"),
-                          F.col("v").alias("vb")), "vec_b")
+                          F.col("v").alias("vb"),
+                          F.col("n").alias("nb")), "vec_b")
         .select(
             "vec_a", "vec_b",
             (_dot(F.col("va"), F.col("vb"))
-             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+             / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     return verified.where(F.col("cosine") >= threshold)
@@ -240,14 +252,17 @@ def cosine_pairs_exact(
     corpus scale).  Returns (vec_a, vec_b, cosine), vec_a < vec_b."""
     vecs = emb.select(F.col(id_col).alias("vec"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-    a = vecs.select(F.col("vec").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec").alias("vec_b"), F.col("v").alias("vb"))
+    vecs = vecs.withColumn("n", _norm(F.col("v")))
+    a = vecs.select(F.col("vec").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"))
+    b = vecs.select(F.col("vec").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b",
             (_dot(F.col("va"), F.col("vb"))
-             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+             / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -297,28 +312,49 @@ def embedding_near_dup_groups(
     )
 
 
-def _centroid_ranking(centroids: list, vec_col: str):
+def _literal_norm(cvec: list) -> float:
+    """Driver-side twin of ``_norm`` over a literal vector: the identical
+    left-to-right IEEE-double fold (acc + x*x, then sqrt), so the value is
+    bit-for-bit what the column expression would produce — evaluated once
+    instead of once per ROW per centroid."""
+    import math
+
+    acc = 0.0
+    for x in cvec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _centroid_ranking(centroids: list, vec_col: str,
+                      norm_col: str | None = None):
     """Column expression ranking the literal centroids by descending cosine
     against ``vec_col`` — the IVF coarse quantizer as a pure projection.
     ``centroids`` is a python list of (centroid_id, [floats]) — small by
-    construction, inlined as literal arrays: NO join, NO shuffle."""
+    construction, inlined as literal arrays: NO join, NO shuffle.
+    ``norm_col`` names an optional precomputed row-norm column (the
+    bit-identical hoist of ``_norm(vec_col)`` — without it the row norm
+    folds once per centroid); centroid norms are always folded driver-side
+    (_literal_norm, same double)."""
     v = F.col(vec_col).cast("array<double>")
+    vnorm = F.col(norm_col) if norm_col else _norm(v)
     scored = []
     for cid, cvec in centroids:
         lit = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = _dot(v, lit) / (_norm(v) * _norm(lit))
+        cos = _dot(v, lit) / (vnorm * F.lit(_literal_norm(cvec)))
         scored.append(F.struct(
             (-cos).alias("neg"), F.lit(cid).alias("centroid")))
     return F.array_sort(F.array(*scored))
 
 
-def nearest_centroid_col(centroids: list, vec_col: str):
+def nearest_centroid_col(centroids: list, vec_col: str,
+                         norm_col: str | None = None):
     """The argmin centroid id as a projection column — attach it with
     select/withColumn on the SAME frame that carries the vectors, so
     downstream groupBy(centroid) is the only exchange (joining a separate
     assignment frame back on id would shuffle the full corpus for
     nothing)."""
-    return F.element_at(_centroid_ranking(centroids, vec_col), 1)["centroid"]
+    return F.element_at(
+        _centroid_ranking(centroids, vec_col, norm_col), 1)["centroid"]
 
 
 def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
@@ -326,9 +362,13 @@ def ivf_assign(emb: DataFrame, centroids: list, id_col="vec_id",
     """Assign each vector to its ``n_probe`` nearest coarse centroids by
     cosine (IVF coarse quantization) via the literal-quantizer projection.
     Returns (id, centroid, probe_rank) with probe_rank 1..n_probe."""
-    ranked = F.slice(_centroid_ranking(centroids, vec_col), 1, n_probe)
-    return emb.select(
+    staged = emb.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    ranked = F.slice(_centroid_ranking(centroids, "_v", "_n"), 1, n_probe)
+    return staged.select(
+        F.col("id"),
         F.posexplode(ranked).alias("pos", "s"),
     ).select(
         "id", F.col("s.centroid").alias("centroid"),
@@ -371,9 +411,11 @@ def ivf_refine_step(emb: DataFrame, centroids: list,
     shuffle of the full corpus per iteration)."""
     dim = len(centroids[0][1])
     v = F.col(vec_col).cast("array<double>")
-    assigned = emb.select(
-        v.alias("v"),
-        nearest_centroid_col(centroids, vec_col).alias("centroid"),
+    assigned = emb.select(v.alias("v")).withColumn(
+        "_n", _norm(F.col("v"))
+    ).select(
+        "v",
+        nearest_centroid_col(centroids, "v", "_n").alias("centroid"),
     )
     aggs = [F.count("*").alias("n")] + [
         F.sum(F.element_at("v", d + 1).cast("decimal(30,12)"))
@@ -418,7 +460,7 @@ def ivf_inertia(emb: DataFrame, centroids: list, id_col="vec_id",
     v = F.col(vec_col).cast("array<double>")
     best = F.greatest(*[
         _dot(v, F.array(*[F.lit(float(x)) for x in cvec]))
-        / (_norm(v) * _norm(F.array(*[F.lit(float(x)) for x in cvec])))
+        / (_norm(v) * F.lit(_literal_norm(cvec)))
         for _, cvec in centroids
     ])
     row = emb.select(F.avg(F.lit(1.0) - best).alias("inertia")).first()
@@ -449,25 +491,32 @@ def ivf_cosine_topk(
         centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
     # coarse assignment rides the scan as a projection column on the same
     # frame as the vectors — joining a separate assignment frame back on
-    # id would shuffle the full corpus once for nothing
+    # id would shuffle the full corpus once for nothing; the row norm is
+    # hoisted once per vector (bit-identical) and reused by both the
+    # quantizer (16 centroid cosines) and the pair scoring below
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-        nearest_centroid_col(centroids, vec_col).alias("centroid"),
+    ).withColumn("_cn", _norm(F.col("cvec"))).withColumn(
+        "centroid", nearest_centroid_col(centroids, "cvec", "_cn")
     )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("_qn", _norm(F.col("qvec"))).select(
+        "query_id", "qvec", "_qn",
         F.posexplode(
-            F.slice(_centroid_ranking(centroids, vec_col), 1, n_probe)
+            F.slice(_centroid_ranking(centroids, "qvec", "_qn"),
+                    1, n_probe)
         ).alias("pos", "s"),
-    ).select("query_id", "qvec", F.col("s.centroid").alias("centroid"))
+    ).select("query_id", "qvec", "_qn",
+             F.col("s.centroid").alias("centroid"))
     scored = corpus.join(F.broadcast(qs), "centroid").where(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id", "neighbor_id",
         (_dot(F.col("cvec"), F.col("qvec"))
-         / (_norm(F.col("cvec")) * _norm(F.col("qvec")))).alias("cosine"),
+         / (F.col("_cn") * F.col("_qn"))).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
