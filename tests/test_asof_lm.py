@@ -46,6 +46,22 @@ def test_asof_join_semantics(spark):
                    103: None}  # key has no right rows
 
 
+def test_asof_join_null_right_ts_never_matches(spark):
+    # a right row with NULL ts sorts FIRST under the ascending window
+    # order; without the explicit filter its payload would carry forward
+    # as a "match" for every left row of the key, where the ASOF
+    # predicate l.ts >= r.ts can never be true for NULL
+    left = spark.createDataFrame([(100, 1, _ts(5))],
+                                 "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, _ts(2), 800)],
+        "k long, ts timestamp, rid long")
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(left, right, on="k",
+                              right_cols=("rid",)).collect()}
+    assert got == {100: 800}
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     # randomized-ish cross-check on real data: purchases vs views from the
     # sf0.001 events table, views deduped per (user, ts) by max event_id

@@ -56,3 +56,13 @@ def test_json_field_stats(spark):
     assert (got["a"]["n_parsed"], got["a"]["sum_val"],
             got["a"]["min_val"], got["a"]["max_val"]) == (2, 10, 3, 7)
     assert (got["b"]["n_parsed"], got["b"]["sum_val"]) == (1, -2)
+
+
+def test_json_field_stats_malformed_numeric_payload_nulls(spark):
+    # ANSI mode: a plain cast of '"abc"' to long would RAISE and kill the
+    # query where the DuckDB twin's TRY_CAST nulls it — the operator must
+    # treat it as unparseable on both engines
+    rows = [("a", '{"k": "abc"}'), ("a", '{"k": 4}')]
+    df = spark.createDataFrame(rows, "g string, props string")
+    got = json_field_stats(df, "props", "k", ["g"]).collect()[0]
+    assert (got["n_parsed"], got["sum_val"]) == (1, 4)

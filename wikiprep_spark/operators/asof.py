@@ -41,8 +41,14 @@ def asof_join(
     with left column names."""
     rpay = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
     r = (
-        right.select(F.col(on).alias("_k"),
-                     F.col(right_ts).alias("_ts"), rpay)
+        # NULL right timestamps can never satisfy l.ts >= r.ts under ASOF
+        # semantics, but the ascending window order sorts them FIRST and
+        # the carry-forward would hand their payload to every left row of
+        # the key — drop them up front (DuckDB ASOF oracle parity on
+        # dirty data)
+        right.where(F.col(right_ts).isNotNull())
+        .select(F.col(on).alias("_k"),
+                F.col(right_ts).alias("_ts"), rpay)
         # one row per (key, ts): greatest payload struct wins — makes the
         # carry-forward independent of input order and engine
         .groupBy("_k", "_ts").agg(F.max("_r").alias("_r"))

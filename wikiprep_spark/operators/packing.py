@@ -55,6 +55,12 @@ def pack_sequences(
     d = (
         d.sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
+        # TWO consumers (per-row cumsum and per-pid offsets) must observe
+        # IDENTICAL partition boundaries; today that holds only because
+        # ReuseExchange dedups the identical exchange subtree — pin it
+        # with one materialization so a plan change can never misalign
+        # the pid-to-offset mapping (the pagerank/triangles pattern)
+        .localCheckpoint()
     )
     wl = (
         Window.partitionBy("pid").orderBy("doc_id")

@@ -92,7 +92,10 @@ def json_field_stats(df: DataFrame, json_col: str, field: str,
     parseable rows, decimal-exact sum, min/max.  The schema-on-read
     pattern for semi-structured event payloads."""
     raw = F.get_json_object(F.col(json_col), "$." + field)
-    val = raw.cast("long")
+    # try_cast, not cast: under ANSI mode a malformed numeric payload
+    # would RAISE here while the DuckDB twin's TRY_CAST nulls it out —
+    # null on both engines is the schema-on-read contract for dirty data
+    val = raw.try_cast("long")
     return (
         df.select(*group_cols, val.alias("v"))
         .groupBy(*group_cols)
