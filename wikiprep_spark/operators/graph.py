@@ -35,12 +35,19 @@ def transitive_closure_roots(
     # the jump table and renames it at the end.  (The previous version
     # carried both, plus an isEmpty probe that re-executed the join:
     # 3 jobs per round instead of 2, measured ~2x slower.)
+    from pyspark.sql import Observation
+
     jump = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("ptr"),
         F.lit(1).cast("long").alias("depth"),
     ).localCheckpoint()
     prev_sum = None
     for _ in range(max_iterations):
+        # convergence probe RIDES the checkpoint job via the Observation
+        # API (one job per round, not two): depth strictly increases
+        # while any pointer still progresses, so an unchanged sum means
+        # fixpoint (decimal(38,0): cannot overflow at any scale)
+        obs = Observation()
         jump = (
             jump.alias("a")
             .join(
@@ -57,14 +64,11 @@ def transitive_closure_roots(
                 F.coalesce("ptr2", "ptr").alias("ptr"),
                 (F.col("depth") + F.coalesce("d2", F.lit(0))).alias("depth"),
             )
+            .observe(obs, F.sum(F.col("depth").cast("decimal(38,0)"))
+                     .alias("s"))
             .localCheckpoint()
         )
-        # convergence probe: depth strictly increases while any pointer
-        # still progresses, so an unchanged sum means fixpoint — one cheap
-        # aggregate over the just-checkpointed frame, no extra join
-        # (decimal(38,0): cannot overflow at any scale)
-        new_sum = jump.agg(
-            F.sum(F.col("depth").cast("decimal(38,0)"))).first()[0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:  # None == None on round 1 <=> empty input
             break
         prev_sum = new_sum
@@ -101,11 +105,15 @@ def connected_components(
         # Spark re-executes the whole upstream per consuming job
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    numeric = isinstance(labels.schema["component"].dataType,
+                         (T.LongType, T.IntegerType))
     prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
@@ -140,22 +148,23 @@ def connected_components(
                     F.col("component"), F.coalesce("cc2", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         # convergence probe.  For numeric node ids: labels only ever
         # decrease (least), so the label sum strictly decreases iff
-        # anything changed — one map-side aggregate over the just-
-        # checkpointed frame instead of a join against the previous
-        # iteration (halves the per-round job count); decimal(38,0) so the
-        # sum cannot overflow at any node-id scale.  Non-numeric labels
-        # (title strings) fall back to the join-based changed check.
+        # anything changed; the probe RIDES the checkpoint job via the
+        # Observation API (one job per round instead of two), and
+        # decimal(38,0) cannot overflow at any node-id scale.
+        # Non-numeric labels (title strings) fall back to the join-based
+        # changed check.
         labels_prev = labels
-        labels = compressed
-        if isinstance(compressed.schema["component"].dataType,
-                      (T.LongType, T.IntegerType)):
-            new_sum = compressed.agg(
-                F.sum(F.col("component").cast("decimal(38,0)"))
-            ).first()[0]
+        if numeric:
+            obs = Observation()
+            compressed = compressed.observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)"))
+                .alias("s"))
+        labels = compressed.localCheckpoint()
+        if numeric:
+            new_sum = obs.get["s"]
             if new_sum is None:
                 break  # empty edge set: sum() is NULL, nothing to propagate
             if prev_sum is not None and new_sum == prev_sum:
@@ -163,7 +172,7 @@ def connected_components(
             prev_sum = new_sum
         else:
             changed = (
-                compressed.alias("n")
+                labels.alias("n")
                 .join(labels_prev.alias("o"), "node")
                 .where(F.col("n.component") != F.col("o.component"))
             )

@@ -504,7 +504,7 @@ def cur_sample(spark, sf_dir):
 def text_lm_ppl(spark, sf_dir):
     """Bigram-LM self-perplexity per document (CCNet-style quality
     signal); the oracle refits the identical add-k model relationally."""
-    return lm.lm_perplexity(_read(spark, sf_dir, "documents"))
+    return lm.lm_perplexity(_read_spread(spark, sf_dir, "documents"))
 
 
 def q_skew_events(spark, sf_dir):
