@@ -95,6 +95,11 @@ def token_jaccard_pairs(
                 F.transform("toks", lambda t: F.xxhash64(t))
             ).alias("toks"),
         )
+    # the token-set frame feeds THREE consumers (the postings index and
+    # both verify sides) — materialize it once instead of re-running the
+    # shingling/hashing chain per consumer (measured ~3x on the sh3
+    # bench config; the winnow/semdedup checkpoint pattern)
+    toks = toks.localCheckpoint()
     posting = toks.select("doc", F.explode("toks").alias("tok"))
     tok_df = posting.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
@@ -142,15 +147,18 @@ def token_jaccard_pairs(
 
 def minhash_signatures(
     docs: DataFrame, id_col="doc_id", text_col="text", num_hashes=32,
-    shingle: int = 1,
+    shingle: int = 1, toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, sig: array<long>) minhash signatures over token sets.
 
     Permutation h_i(x) = (a_i * xxhash64(x) + b_i) mod M with deterministic
     odd multipliers — all computed by a single higher-order-function
     expression per row (aggregate over the token array), no shuffle at all.
+    ``toks`` optionally supplies a prebuilt (doc, toks) frame so a caller
+    that also needs the token sets (LSH verify) computes them once.
     """
-    toks = _token_sets(docs, id_col, text_col, shingle)
+    if toks is None:
+        toks = _token_sets(docs, id_col, text_col, shingle)
 
     def perm(a, b):
         # closure factory: pyspark inspects lambda arity, so defaults-as-
@@ -192,7 +200,12 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle)
+    # ONE token-set materialization feeds the signature chain AND both
+    # exact-verify sides (previously three independent executions of the
+    # shingling chain — the jaccard/winnow checkpoint pattern)
+    toks = _token_sets(docs, id_col, text_col, shingle).localCheckpoint()
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle,
+                              toks=toks)
     banded = sigs.select(
         "doc",
         F.explode(
@@ -234,7 +247,6 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    toks = _token_sets(docs, id_col, text_col, shingle)
     verified = (
         candidates.join(
             toks.select(F.col("doc").alias("doc_a"),

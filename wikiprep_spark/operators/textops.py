@@ -179,7 +179,13 @@ def winnow_overlap_pairs(docs: DataFrame, id_col="doc_id",
     the guard active the overlap is computed against unguarded sizes and
     therefore UNDERESTIMATES (drops only boilerplate-borne evidence),
     which is the conservative direction for a drop-list."""
-    fps = winnow_fingerprints(docs, id_col, text_col, k, window)
+    # the fingerprint stream feeds FOUR consumers (per-doc sizes, the hot
+    # list, and both postings sides) — materialize it once instead of
+    # re-running the per-character winnowing hash chain per consumer (the
+    # triangles/semdedup checkpoint pattern; measured ~2x on the guarded
+    # bench config)
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window) \
+        .localCheckpoint()
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
     posts = fps
     if max_posting is not None:
