@@ -37,21 +37,11 @@ def transitive_closure_roots(
     # 3 jobs per round instead of 2, measured ~2x slower.)
     from pyspark.sql import Observation
 
-    jump = edges.select(
-        F.col(src).alias("node"), F.col(dst).alias("ptr"),
-        F.lit(1).cast("long").alias("depth"),
-    ).localCheckpoint()
-    prev_sum = None
-    for _ in range(max_iterations):
-        # convergence probe RIDES the checkpoint job via the Observation
-        # API (one job per round, not two): depth strictly increases
-        # while any pointer still progresses, so an unchanged sum means
-        # fixpoint (decimal(38,0): cannot overflow at any scale)
-        obs = Observation()
-        jump = (
-            jump.alias("a")
+    def jump_once(j):
+        return (
+            j.alias("a")
             .join(
-                jump.select(
+                j.select(
                     F.col("node").alias("ptr"),
                     F.col("ptr").alias("ptr2"),
                     F.col("depth").alias("d2"),
@@ -64,6 +54,26 @@ def transitive_closure_roots(
                 F.coalesce("ptr2", "ptr").alias("ptr"),
                 (F.col("depth") + F.coalesce("d2", F.lit(0))).alias("depth"),
             )
+        )
+
+    jump = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("ptr"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint()
+    prev_sum = None
+    # TWO jumps per materialized round: the squaring operator composes, so
+    # pairing jumps halves the checkpoint/probe rounds while executing the
+    # SAME total jump sequence — outputs are identical at every total jump
+    # count, including the cycle-cutting cap (verified row-for-row), and
+    # the convergence probe merely fires at most one fused round later.
+    for _ in range((max_iterations + 1) // 2):
+        # the probe RIDES the checkpoint job via the Observation API (one
+        # job per round): depth strictly increases while any pointer still
+        # progresses, so an unchanged sum means fixpoint (decimal(38,0):
+        # cannot overflow at any scale)
+        obs = Observation()
+        jump = (
+            jump_once(jump_once(jump))
             .observe(obs, F.sum(F.col("depth").cast("decimal(38,0)"))
                      .alias("s"))
             .localCheckpoint()
