@@ -25,20 +25,20 @@ def build_session(
         shuffle_partitions = max(cpus, 8)
 
     # Every pandas-UDF task keeps TWO threads hot (the python worker and
-    # the JVM side feeding it Arrow batches); this sandbox's guest kernel
-    # punishes runnable-threads > cpus severely (measured 2-3x CPU
-    # inflation).  Budget 2 cpus per task so hot threads ~= cores, and
-    # cap slots at ~8 per JVM beyond 16 cores (measured sweet spot) —
-    # the same 4-8-cores-per-executor sizing production clusters use.
+    # the JVM side feeding it Arrow batches); budget 2 cpus per task so
+    # hot threads ~= cores at any local[k] — the same 2-cores-per-task
+    # sizing a production executor uses for python-heavy stages.  (An
+    # earlier round additionally capped slots at ~8 per JVM beyond 16
+    # cores; re-measured round 6 with interleaved clean-window A/Bs:
+    # 16 slots beat 8 by ~17% on the python transform stage and 10-20%
+    # on the JVM-heavy pair joins, so the extra cap is gone.)
     task_cpus = 1
     if master.startswith("local["):
         try:
             k = int(master[len("local["):-1].rstrip("*") or os.cpu_count())
         except ValueError:
             k = os.cpu_count() or 8
-        if k > 16:
-            task_cpus = max(2, k // 8)
-        elif k >= 2:
+        if k >= 2:
             task_cpus = 2
     elif master.startswith("local-cluster["):
         # [n_executors, cores_per_executor, mem_mb]: budget 2 cpus per
